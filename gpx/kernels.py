@@ -1,0 +1,211 @@
+"""Covariance kernels as JAX pytrees.
+
+Re-designs the reference kernel layer for TPU:
+
+* The Scala side evaluates kernels entry-by-entry on a JVM-built distance
+  matrix (``core/src/main/scala/gp/KernelFunction.scala:8-55`` applied over
+  ``GaussianProcess.distanceMatrix``, an O(N^2) scalar loop at
+  ``GaussianProcess.scala:50-61``). Here a kernel is a pytree whose
+  ``evaluate_r2`` maps a whole *squared*-distance array at once, so Gram
+  construction is one fused XLA/Pallas pass on the MXU/VPU
+  (see :mod:`gpx.ops.gram` and :mod:`gpx.ops.pallas_gram`).
+* Hyperparameters are pytree leaves, so ``jax.grad`` of the marginal
+  likelihood flows through kernels directly — replacing the hand-derived
+  (and buggy, KernelParameters.scala:276-277) gradient tables.
+* ``Sum`` reproduces the reference combinator (KernelFunction.scala:47-55);
+  ``Product`` implements the combinator the reference left as a TODO
+  (KernelFunction.scala:40-41).
+
+Kernel parameter ADT parity (KernelParameters.scala:21-67):
+``SquaredExp(h, sigma)`` -> :class:`SquaredExponential`,
+``Matern(sigma, nu, l)`` -> :class:`Matern`, ``White(sigma)`` -> :class:`White`.
+
+Matérn note: the reference's Matérn is mathematically wrong — it calls the
+modified Bessel function of the *first* kind ``i0`` regardless of ``nu``
+(KernelFunction.scala:22-28). We implement the correct Matérn with exact
+closed forms for every half-integer ``nu`` (1/2, 3/2, 5/2, ...); parity
+target is the math, not the reference (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from gpx import bijectors as bij
+from gpx.utils.pytree import pytree_dataclass
+
+
+class Kernel:
+    """Base mixin for covariance kernels.
+
+    Subclasses implement ``evaluate_r2(r2)``: the kernel value as a function
+    of *squared* Euclidean distance (squared distance is what the MXU-friendly
+    ``|x|^2 + |y|^2 - 2 x.y`` Gram pass produces natively; kernels needing the
+    plain distance take one ``sqrt``).
+    """
+
+    # -- evaluation ---------------------------------------------------------
+    def evaluate_r2(self, r2):
+        raise NotImplementedError
+
+    def evaluate(self, d):
+        """Kernel value at (non-squared) distance ``d`` — the reference's
+        ``Double => Double`` covFn view (KernelFunction.scala:47-55)."""
+        d = jnp.asarray(d)
+        return self.evaluate_r2(d * d)
+
+    def variance(self, n: int, dtype=None):
+        """Kernel value at distance zero, broadcast to ``(n,)`` — the
+        ``kyy = covFn(dist(xs, xs))`` term of Predict.scala:78."""
+        z = jnp.zeros((n,), dtype=dtype or jnp.result_type(float))
+        return self.evaluate_r2(z)
+
+    # -- gram construction (delegates to gpx.ops) --------------------------
+    def gram(self, x, x2=None, *, nugget: float = 0.0, method: str = "auto"):
+        from gpx.ops.gram import gram
+
+        return gram(self, x, x2, nugget=nugget, method=method)
+
+    # -- algebra ------------------------------------------------------------
+    def __add__(self, other):
+        a = self.kernels if isinstance(self, Sum) else (self,)
+        b = other.kernels if isinstance(other, Sum) else (other,)
+        return Sum(a + b)
+
+    def __mul__(self, other):
+        a = self.kernels if isinstance(self, Product) else (self,)
+        b = other.kernels if isinstance(other, Product) else (other,)
+        return Product(a + b)
+
+    # -- transforms ---------------------------------------------------------
+    def bijectors(self):
+        """A same-structure pytree with a :class:`gpx.bijectors.Bijector` in
+        every leaf slot (zips against ``self`` under ``tree_map``)."""
+        raise NotImplementedError
+
+
+@pytree_dataclass
+class SquaredExponential(Kernel):
+    """``k(d) = h * exp(-d^2 / sigma^2)`` — KernelFunction.scala:13-15.
+
+    ``h`` is the signal variance, ``sigma`` the length-scale (the reference's
+    convention: no factor of 2 in the denominator).
+    """
+
+    h: jnp.ndarray
+    sigma: jnp.ndarray
+
+    def evaluate_r2(self, r2):
+        return self.h * jnp.exp(-r2 / (self.sigma * self.sigma))
+
+    def bijectors(self):
+        return SquaredExponential(h=bij.positive, sigma=bij.positive)
+
+
+@pytree_dataclass(meta_fields=("nu",))
+class Matern(Kernel):
+    """Matérn kernel, correct closed form for half-integer ``nu``.
+
+    ``k(d) = sigma * exp(-s) * (p! / (2p)!) * sum_i C(p,i) (p+i)!/p! (2s)^(p-i)``
+    with ``s = sqrt(2 nu) d / l`` and ``nu = p + 1/2``. Replaces the
+    reference's incorrect Bessel-I0 formula (KernelFunction.scala:22-28).
+    ``sigma`` is the amplitude multiplier to match the reference's
+    parameterization; ``nu`` is static (part of model structure), unlike the
+    reference where it sits in the flat parameter vector but whose
+    constrain/unconstrain then throw (KernelParameters.scala:254,263) —
+    making it un-inferable there anyway.
+    """
+
+    sigma: jnp.ndarray
+    l: jnp.ndarray
+    nu: float = 1.5
+
+    def __post_init__(self):
+        p = self.nu - 0.5
+        if abs(p - round(p)) > 1e-12 or self.nu <= 0:
+            raise NotImplementedError(
+                "Matern currently supports half-integer nu (1/2, 3/2, 5/2, ...); "
+                f"got nu={self.nu}. Use SquaredExponential for the nu->inf limit."
+            )
+
+    def evaluate_r2(self, r2):
+        p = int(round(self.nu - 0.5))
+        d = jnp.sqrt(jnp.maximum(r2, 0.0))
+        s = (math.sqrt(2.0 * self.nu) / self.l) * d
+        # poly = (p!/(2p)!) * sum_{i=0}^{p} (p+i)!/(i!(p-i)!) (2s)^{p-i}
+        scale = math.factorial(p) / math.factorial(2 * p)
+        poly = 0.0
+        for i in range(p + 1):
+            coeff = math.factorial(p + i) / (
+                math.factorial(i) * math.factorial(p - i)
+            )
+            poly = poly + coeff * (2.0 * s) ** (p - i)
+        return self.sigma * scale * poly * jnp.exp(-s)
+
+    def bijectors(self):
+        return Matern(sigma=bij.positive, l=bij.positive, nu=self.nu)
+
+
+@pytree_dataclass
+class White(Kernel):
+    """White-noise kernel: ``sigma`` where distance is exactly zero, else 0
+    (KernelFunction.scala:33-35). As in the reference, this triggers for
+    *any* zero distance — i.e. also for duplicated training locations, not
+    only the Gram diagonal; see SURVEY.md §7 quirks."""
+
+    sigma: jnp.ndarray
+
+    def evaluate_r2(self, r2):
+        return jnp.where(r2 == 0.0, self.sigma, jnp.zeros_like(r2))
+
+    def bijectors(self):
+        return White(sigma=bij.positive)
+
+
+@pytree_dataclass
+class Sum(Kernel):
+    """Sum combinator — reference semantics (KernelFunction.scala:47-55)."""
+
+    kernels: tuple
+
+    def evaluate_r2(self, r2):
+        out = self.kernels[0].evaluate_r2(r2)
+        for k in self.kernels[1:]:
+            out = out + k.evaluate_r2(r2)
+        return out
+
+    def bijectors(self):
+        return Sum(tuple(k.bijectors() for k in self.kernels))
+
+
+@pytree_dataclass
+class Product(Kernel):
+    """Product combinator — the reference's noted TODO
+    (KernelFunction.scala:40-41), implemented here."""
+
+    kernels: tuple
+
+    def evaluate_r2(self, r2):
+        out = self.kernels[0].evaluate_r2(r2)
+        for k in self.kernels[1:]:
+            out = out * k.evaluate_r2(r2)
+        return out
+
+    def bijectors(self):
+        return Product(tuple(k.bijectors() for k in self.kernels))
+
+
+# -- reference smart constructors (KernelParameters.scala:69-83) -------------
+
+def se(h, sigma) -> SquaredExponential:
+    return SquaredExponential(h=jnp.asarray(h), sigma=jnp.asarray(sigma))
+
+
+def matern(sigma, nu, l) -> Matern:
+    return Matern(sigma=jnp.asarray(sigma), l=jnp.asarray(l), nu=float(nu))
+
+
+def white(sigma) -> White:
+    return White(sigma=jnp.asarray(sigma))

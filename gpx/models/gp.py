@@ -1,0 +1,170 @@
+"""Gaussian-process core operations: simulate, likelihood, predict.
+
+TPU-native rebuild of ``GaussianProcess`` (core/src/main/scala/gp/
+GaussianProcess.scala) and ``Predict`` (core/src/main/scala/gp/Predict.scala).
+Everything here is a pure jittable function of pytrees; the hot path is
+fused Gram construction (gpx.ops.gram) -> blocked Cholesky -> batched
+triangular solves, all inside one XLA program (SURVEY.md §3.1-3.3).
+
+Key redesigns vs the reference:
+
+* ``draw``: Cholesky-based sampling (``mu + L z``) instead of a full
+  symmetric eigendecomposition (GaussianProcess.scala:79-82) — one O(N^3/3)
+  factorization that also feeds the likelihood, instead of an O(N^3) eigh.
+* ``predict``: GPML Algorithm 2.1, but *batched* — one ``trsm`` over an
+  (N, M) cross-covariance replaces the reference's per-test-point ``dtrsv``
+  loop (Predict.scala:71-93, O(M N^2) solves -> one MXU pass), and the
+  ``forwardSolve(l, ys)`` the reference recomputes every iteration
+  (Predict.scala:90) is hoisted out.
+* ``log_marginal_likelihood`` supports the mean function in prediction too
+  (the reference's Predict.fit silently ignores the mean function).
+* gradients: ``jax.value_and_grad`` through the Cholesky replaces the
+  hand-derived ``mllGradient`` (GaussianProcess.scala:166-187), which forms
+  N x N products per hyperparameter and contains sign/Jacobian bugs
+  (SURVEY.md §7 quirks).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from gpx.distributions import normal_interval
+from gpx.ops.chol import add_jitter, cholesky, forward_solve
+from gpx.ops.distance import as_locations
+from gpx.params import Parameters
+
+# The reference's nugget discipline (Tikhonov regularization).
+DRAW_NUGGET = 1e-3     # GaussianProcess.scala:71
+LOGML_NUGGET = 1e-3    # GaussianProcess.scala:117
+PREDICT_NUGGET = 1e-6  # Predict.scala:67
+
+
+class PosteriorSummary(NamedTuple):
+    """Marginal posterior at test locations: the rebuild of the reference's
+    ``Vector[(Location, Gaussian)]`` (Predict.scala:61)."""
+
+    x: jnp.ndarray      # (M, D) test locations
+    mean: jnp.ndarray   # (M,)
+    variance: jnp.ndarray  # (M,)
+
+    def interval(self, q):
+        """Credible bound at quantile ``q`` — Summarise.getInterval /
+        Predict.predict (Predict.scala:96-105, Summarise.scala:10-12)."""
+        return normal_interval(self.mean, self.variance, q)
+
+
+def sample_points(key, start, end, n: int):
+    """Sorted uniform 1-D design points — GaussianProcess.samplePoints
+    (GaussianProcess.scala:132-134)."""
+    return jnp.sort(random.uniform(key, (n,), minval=start, maxval=end))
+
+
+def draw(key, params: Parameters, x, *, nugget: float = DRAW_NUGGET, shape=()):
+    """Draw from the GP prior at locations ``x`` — GaussianProcess.draw
+    (GaussianProcess.scala:67-83), via Cholesky instead of eigSym."""
+    x = as_locations(x)
+    k = params.kernel.gram(x, nugget=nugget)
+    l = cholesky(k)
+    mu = params.mean(x)
+    z = random.normal(key, (*shape, x.shape[0]), dtype=l.dtype)
+    return mu + z @ l.T
+
+
+def log_marginal_likelihood(
+    params: Parameters, x, y, *, nugget: float = LOGML_NUGGET
+):
+    """Exact GP marginal log-likelihood — GaussianProcess.loglikelihood
+    (GaussianProcess.scala:109-127): fused Gram + nugget, one Cholesky, one
+    forward solve. Differentiable in ``params`` via autodiff through the
+    Cholesky (replaces mllGradient, GaussianProcess.scala:166-187)."""
+    x = as_locations(x)
+    n = x.shape[0]
+    kxx = params.kernel.gram(x, nugget=nugget)
+    l = cholesky(kxx)
+    resid = y - params.mean(x)
+    u = forward_solve(l, resid)
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(l)))
+    return -0.5 * u @ u - half_logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+
+
+def logml_value_and_grad(params: Parameters, x, y, *, nugget: float = LOGML_NUGGET):
+    """``(logML, d logML / d params)`` in one compiled pass — the north-star
+    metric path (SURVEY.md §3.3, BASELINE.md)."""
+    return jax.value_and_grad(
+        lambda p: log_marginal_likelihood(p, x, y, nugget=nugget)
+    )(params)
+
+
+def fit(
+    params: Parameters,
+    x,
+    y,
+    xs,
+    *,
+    nugget: float = PREDICT_NUGGET,
+    full_cov: bool = False,
+):
+    """GP posterior at test locations ``xs`` — GPML Algorithm 2.1, batched
+    (Predict.fit, Predict.scala:57-94).
+
+    Returns a :class:`PosteriorSummary` (marginal mean/variance), or
+    ``(mean, cov)`` when ``full_cov=True`` (needed for joint posterior draws,
+    which the reference cannot produce from its per-point loop).
+    """
+    x = as_locations(x)
+    xs = as_locations(xs)
+    kxx = params.kernel.gram(x, nugget=nugget)
+    l = cholesky(kxx)
+
+    kxs = params.kernel.gram(x, xs)            # (N, M) cross-covariance
+    a = forward_solve(l, kxs)                  # one trsm: all test points
+    v = forward_solve(l, y - params.mean(x))   # hoisted out of the loop
+    mean = params.mean(xs) + a.T @ v
+
+    if full_cov:
+        kss = params.kernel.gram(xs)
+        cov = kss - a.T @ a
+        return mean, cov
+    kss_diag = params.kernel.variance(xs.shape[0], dtype=mean.dtype)
+    var = kss_diag - jnp.sum(a * a, axis=0)
+    return PosteriorSummary(x=xs, mean=mean, variance=var)
+
+
+def predict(summary: PosteriorSummary, interval: float = 0.95):
+    """(mean, lower, upper) triples — Predict.predict (Predict.scala:96-105)."""
+    return summary.mean, summary.interval(1.0 - interval), summary.interval(interval)
+
+
+def posterior_draw(
+    key,
+    params: Parameters,
+    x,
+    y,
+    xs,
+    *,
+    nugget: float = PREDICT_NUGGET,
+    jitter: float = 1e-8,
+    shape=(),
+):
+    """Joint draw from the GP posterior at ``xs`` — the capability behind the
+    reference's ``efficientDraw`` (GaussianProcess.scala:146-164, which is
+    shape-broken and unused; SURVEY.md §7 quirks), done directly from the
+    posterior covariance Cholesky."""
+    mean, cov = fit(params, x, y, xs, nugget=nugget, full_cov=True)
+    l = cholesky(add_jitter(cov, jitter))
+    z = random.normal(key, (*shape, mean.shape[0]), dtype=l.dtype)
+    return mean + z @ l.T
+
+
+def get_intervals(mean, cov, interval: float):
+    """Marginal intervals from an MVN — Summarise.getIntervals
+    (Summarise.scala:30-38)."""
+    var = jnp.diagonal(cov)
+    return (
+        normal_interval(mean, var, interval),
+        normal_interval(mean, var, 1.0 - interval),
+    )

@@ -1,0 +1,64 @@
+"""Pairwise distances, MXU-shaped.
+
+The reference builds an O(N^2) distance matrix with a scalar JVM
+for-comprehension (GaussianProcess.distanceMatrix, GaussianProcess.scala:50-61)
+over a ``Location.euclidean`` metric (Location.scala:27-33). Here locations
+are ``(N, D)`` arrays and pairwise *squared* distances come from the matmul
+identity ``|x|^2 + |y|^2 - 2 x.y`` — one MXU contraction plus VPU elementwise
+work, fully fusable by XLA.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def as_locations(x):
+    """Coerce to ``(N, D)``: 1-D input becomes the reference's ``One``
+    locations (``(N, 1)``); ``(N, 2)`` is ``Two``; any D is allowed."""
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    return x
+
+
+def sq_distances(x1, x2=None):
+    """Pairwise squared Euclidean distances.
+
+    Symmetric case (``x2 is None``) clamps at zero and zeroes the diagonal
+    exactly, so kernels testing ``r2 == 0`` (White) behave like the
+    reference's exact ``dist == 0`` check on the diagonal
+    (KernelFunction.scala:33-35).
+    """
+    x1 = as_locations(x1)
+    symmetric = x2 is None
+    x2 = x1 if symmetric else as_locations(x2)
+    if x1.shape[-1] <= 8:
+        # Low-dimensional spatial inputs (the reference's One/Two locations):
+        # the broadcast-subtract form is exact at coincident points (the
+        # norms+matmul identity can round |x|^2+|y|^2-2x.y away from 0, which
+        # matters for White's ``dist == 0`` semantics) and XLA fuses the
+        # (N, M, D) intermediate away. Matches gpx.ops.pallas_gram's tile path.
+        diff = x1[:, None, :] - x2[None, :, :]
+        r2 = jnp.sum(diff * diff, axis=-1)
+    else:
+        n1 = jnp.sum(x1 * x1, axis=-1)
+        n2 = n1 if symmetric else jnp.sum(x2 * x2, axis=-1)
+        r2 = n1[:, None] + n2[None, :] - 2.0 * (x1 @ x2.T)
+    r2 = jnp.maximum(r2, 0.0)
+    if symmetric:
+        r2 = jnp.fill_diagonal(r2, 0.0, inplace=False)
+    return r2
+
+
+def distances(x1, x2=None):
+    """Pairwise Euclidean distances (the reference's distanceMatrix)."""
+    return jnp.sqrt(sq_distances(x1, x2))
+
+
+def euclidean(a, b):
+    """Distance between two single locations — Location.euclidean
+    (Location.scala:27-33)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    return jnp.sqrt(jnp.sum((a - b) ** 2))

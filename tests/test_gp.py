@@ -1,0 +1,148 @@
+"""GP core: logML vs direct MVN, gradients vs finite differences, predict vs
+direct conditioning, prior draws — the tests the reference never had
+(SURVEY.md §4 "implication for the rebuild")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats as sps
+
+from gpx import Parameters, se, white, plane, zero
+from gpx import params as gparams
+from gpx.models import gp
+from gpx.ops import gram
+
+from .util import random_locations
+
+
+def _toy(rng, n=25, d=1):
+    x = random_locations(rng, n, d, scale=5.0)
+    p = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    y = rng.normal(size=n)
+    return p, x, y
+
+
+def test_logml_matches_scipy_mvn(rng):
+    p, x, y = _toy(rng)
+    got = float(gp.log_marginal_likelihood(p, x, y))
+    cov = np.asarray(gram(p.kernel, x, nugget=gp.LOGML_NUGGET))
+    want = sps.multivariate_normal(mean=np.zeros(len(y)), cov=cov).logpdf(y)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_logml_with_plane_mean(rng):
+    x = random_locations(rng, 20, 2, scale=3.0)
+    beta = np.array([1.0, -0.5, 2.0])
+    p = Parameters(mean=plane(beta), kernel=se(2.0, 3.0) + white(0.3))
+    y = rng.normal(size=20) + beta[0] + x @ beta[1:]
+    got = float(gp.log_marginal_likelihood(p, x, y))
+    cov = np.asarray(gram(p.kernel, x, nugget=gp.LOGML_NUGGET))
+    mean = beta[0] + x @ beta[1:]
+    want = sps.multivariate_normal(mean=mean, cov=cov).logpdf(y)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_logml_grad_vs_finite_differences(rng):
+    p, x, y = _toy(rng, n=15)
+    flat0, unravel = gparams.unraveler(p)
+
+    def f(flat):
+        return gp.log_marginal_likelihood(unravel(flat), x, y)
+
+    grad = np.asarray(jax.grad(f)(flat0))
+    eps = 1e-6
+    fd = np.zeros_like(grad)
+    for i in range(flat0.size):
+        e = np.zeros(flat0.size)
+        e[i] = eps
+        fd[i] = (float(f(flat0 + e)) - float(f(flat0 - e))) / (2 * eps)
+    np.testing.assert_allclose(grad, fd, rtol=1e-5, atol=1e-7)
+
+
+def test_predict_matches_direct_conditioning(rng):
+    p, x, y = _toy(rng, n=20)
+    xs = random_locations(rng, 7, 1, scale=5.0)
+
+    summary = gp.fit(p, x, y, xs)
+
+    kxx = np.asarray(gram(p.kernel, x, nugget=gp.PREDICT_NUGGET))
+    kxs = np.asarray(gram(p.kernel, x, xs))
+    kss = np.asarray(gram(p.kernel, xs))
+    kinv = np.linalg.inv(kxx)
+    want_mean = kxs.T @ kinv @ y
+    want_cov = kss - kxs.T @ kinv @ kxs
+
+    np.testing.assert_allclose(np.asarray(summary.mean), want_mean, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(summary.variance), np.diag(want_cov), rtol=1e-6, atol=1e-9
+    )
+
+    mean2, cov2 = gp.fit(p, x, y, xs, full_cov=True)
+    np.testing.assert_allclose(np.asarray(cov2), want_cov, rtol=1e-6, atol=1e-9)
+
+
+def test_predict_with_mean_function(rng):
+    # the reference's Predict.fit ignores the mean function; ours honours it
+    x = random_locations(rng, 15, 1, scale=4.0)
+    beta = np.array([2.0, 0.7])
+    p = Parameters(mean=plane(beta), kernel=se(1.5, 2.0))
+    y = beta[0] + (x @ beta[1:]) + rng.normal(size=15) * 0.1
+    xs = random_locations(rng, 5, 1, scale=4.0)
+    summary = gp.fit(p, x, y, xs)
+    # posterior mean should track the plane closely where data is dense
+    m_s = beta[0] + xs @ beta[1:]
+    assert np.abs(np.asarray(summary.mean) - m_s).mean() < 1.0
+
+
+def test_intervals_are_ordered(rng):
+    p, x, y = _toy(rng)
+    xs = random_locations(rng, 9, 1, scale=5.0)
+    summary = gp.fit(p, x, y, xs)
+    mean, lower, upper = gp.predict(summary, 0.95)
+    assert (np.asarray(lower) < np.asarray(mean)).all()
+    assert (np.asarray(mean) < np.asarray(upper)).all()
+
+
+def test_prior_draw_moments(rng):
+    # draw via Cholesky: sample mean/cov should approach (mu, K)
+    p = Parameters(mean=plane(np.array([3.0, 0.0])), kernel=se(2.0, 3.0))
+    x = random_locations(rng, 10, 1, scale=3.0)
+    key = jax.random.PRNGKey(0)
+    draws = gp.draw(key, p, x, shape=(4000,))
+    cov = np.asarray(gram(p.kernel, x, nugget=gp.DRAW_NUGGET))
+    emp_mean = np.asarray(draws).mean(0)
+    emp_cov = np.cov(np.asarray(draws).T)
+    np.testing.assert_allclose(emp_mean, 3.0 * np.ones(10), atol=0.15)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.3)
+
+
+def test_posterior_draw_consistent_with_fit(rng):
+    p, x, y = _toy(rng, n=20)
+    xs = random_locations(rng, 6, 1, scale=5.0)
+    key = jax.random.PRNGKey(1)
+    draws = gp.posterior_draw(key, p, x, y, xs, shape=(3000,))
+    summary = gp.fit(p, x, y, xs)
+    np.testing.assert_allclose(
+        np.asarray(draws).mean(0), np.asarray(summary.mean), atol=0.2
+    )
+    np.testing.assert_allclose(
+        np.asarray(draws).var(0), np.asarray(summary.variance), atol=0.2
+    )
+
+
+def test_sample_points_sorted():
+    pts = gp.sample_points(jax.random.PRNGKey(0), -10.0, 10.0, 50)
+    arr = np.asarray(pts)
+    assert (np.diff(arr) >= 0).all() and arr.min() >= -10 and arr.max() <= 10
+
+
+def test_logml_jit_and_vmap(rng):
+    # samplers evaluate logml under jit/vmap over parameter pytrees
+    p, x, y = _toy(rng, n=12)
+    f = jax.jit(lambda pp: gp.log_marginal_likelihood(pp, x, y))
+    np.testing.assert_allclose(
+        float(f(p)), float(gp.log_marginal_likelihood(p, x, y)), rtol=1e-12
+    )
+    stacked = jax.tree_util.tree_map(lambda a: jnp.stack([a, a * 1.1]), p)
+    vals = jax.vmap(lambda pp: gp.log_marginal_likelihood(pp, x, y))(stacked)
+    assert vals.shape == (2,)

@@ -1,0 +1,128 @@
+"""Kernel algebra: values, combinators, Gram symmetry/PSD, Matérn math."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpx import kernels, se, white, matern
+from gpx.ops import gram, cross_gram, sq_distances, distances, build_cov_matrix
+
+from .util import random_locations
+
+
+def test_se_matches_reference_formula(rng):
+    # KernelFunction.squaredExponential: h * exp(-d^2/sigma^2)
+    # (KernelFunction.scala:13-15)
+    k = se(3.0, 5.5)
+    d = rng.uniform(0, 10, size=50)
+    np.testing.assert_allclose(
+        np.asarray(k.evaluate(d)), 3.0 * np.exp(-(d**2) / 5.5**2), rtol=1e-12
+    )
+
+
+def test_white_zero_distance_semantics():
+    # sigma iff dist == 0 (KernelFunction.scala:33-35)
+    k = white(0.7)
+    vals = k.evaluate(jnp.array([0.0, 1e-9, 1.0]))
+    np.testing.assert_allclose(np.asarray(vals), [0.7, 0.0, 0.0])
+
+
+@pytest.mark.parametrize("nu,closed_form", [
+    (0.5, lambda d, s, l: s * np.exp(-d / l)),
+    (1.5, lambda d, s, l: s * (1 + np.sqrt(3) * d / l) * np.exp(-np.sqrt(3) * d / l)),
+    (2.5, lambda d, s, l: s * (1 + np.sqrt(5) * d / l + 5 * d**2 / (3 * l**2))
+     * np.exp(-np.sqrt(5) * d / l)),
+])
+def test_matern_half_integer_closed_forms(rng, nu, closed_form):
+    s, l = 2.0, 1.7
+    k = matern(s, nu, l)
+    d = rng.uniform(0, 5, size=100)
+    np.testing.assert_allclose(
+        np.asarray(k.evaluate(d)), closed_form(d, s, l), rtol=1e-10
+    )
+
+
+def test_matern_72_vs_scipy(rng):
+    # general half-integer closed form vs scipy's Bessel-Kv Matérn
+    from scipy.special import gamma as sp_gamma, kv
+
+    nu, s, l = 3.5, 1.3, 2.2
+    k = matern(s, nu, l)
+    d = rng.uniform(0.1, 5, size=50)
+    arg = np.sqrt(2 * nu) * d / l
+    expected = s * (2 ** (1 - nu) / sp_gamma(nu)) * arg**nu * kv(nu, arg)
+    np.testing.assert_allclose(np.asarray(k.evaluate(d)), expected, rtol=1e-9)
+
+
+def test_matern_non_half_integer_rejected():
+    with pytest.raises(NotImplementedError):
+        matern(1.0, 1.0, 1.0)
+
+
+def test_sum_and_product_combinators(rng):
+    d = rng.uniform(0, 5, size=20)
+    k1, k2, k3 = se(3.0, 5.5), white(0.5), matern(1.0, 1.5, 2.0)
+    ksum = k1 + k2 + k3
+    assert isinstance(ksum, kernels.Sum) and len(ksum.kernels) == 3
+    np.testing.assert_allclose(
+        np.asarray(ksum.evaluate(d)),
+        np.asarray(k1.evaluate(d) + k2.evaluate(d) + k3.evaluate(d)),
+        rtol=1e-12,
+    )
+    kprod = k1 * k3
+    np.testing.assert_allclose(
+        np.asarray(kprod.evaluate(d)),
+        np.asarray(k1.evaluate(d)) * np.asarray(k3.evaluate(d)),
+        rtol=1e-12,
+    )
+
+
+def test_sq_distances_matches_direct(rng):
+    x = random_locations(rng, 40, 2)
+    r2 = np.asarray(sq_distances(x))
+    direct = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(r2, direct, atol=1e-8)
+    assert (np.diag(r2) == 0).all()
+
+    x2 = random_locations(rng, 17, 2)
+    r2c = np.asarray(sq_distances(x, x2))
+    directc = ((x[:, None, :] - x2[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(r2c, directc, atol=1e-8)
+
+
+def test_gram_symmetric_psd_and_white_diag(rng):
+    x = random_locations(rng, 30, 1)
+    k = se(3.0, 5.5) + white(0.5)
+    kmat = np.asarray(gram(k, x, nugget=1e-3))
+    np.testing.assert_allclose(kmat, kmat.T, atol=1e-12)
+    # diagonal = h + sigma_white + nugget
+    np.testing.assert_allclose(np.diag(kmat), 3.0 + 0.5 + 1e-3, rtol=1e-12)
+    eigvals = np.linalg.eigvalsh(kmat)
+    assert eigvals.min() > 0
+
+
+def test_cross_gram_consistency(rng):
+    # cross_gram(x, x) equals symmetric gram off the white/diagonal terms
+    x = random_locations(rng, 25, 2)
+    k = se(2.0, 3.0)
+    np.testing.assert_allclose(
+        np.asarray(cross_gram(k, x, x)), np.asarray(gram(k, x)), atol=1e-8
+    )
+
+
+def test_build_cov_matrix(rng):
+    kxx = rng.normal(size=(3, 3))
+    kyy = rng.normal(size=(2, 2))
+    kxy = rng.normal(size=(3, 2))
+    full = np.asarray(build_cov_matrix(kxx, kyy, kxy))
+    np.testing.assert_allclose(full[:3, :3], kxx)
+    np.testing.assert_allclose(full[:3, 3:], kxy)
+    np.testing.assert_allclose(full[3:, :3], kxy.T)
+    np.testing.assert_allclose(full[3:, 3:], kyy)
+
+
+def test_distances_euclidean(rng):
+    x = random_locations(rng, 10, 2)
+    d = np.asarray(distances(x))
+    ref = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    np.testing.assert_allclose(d, ref, atol=1e-8)
