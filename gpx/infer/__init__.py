@@ -1,0 +1,29 @@
+"""Bayesian inference engines: MH, HMC, dual-averaging, eHMC, Gibbs.
+
+Rebuild of layer L4 (SURVEY.md §1): all samplers are ``lax.scan`` loops over
+jitted transition kernels, vmapped over a chains axis.
+"""
+
+from gpx.infer import base, dual_averaging, ehmc, gibbs, hmc, mcmc, mh
+from gpx.infer.mcmc import (
+    PosteriorSamples,
+    sample_ehmc,
+    sample_hmc,
+    sample_mh,
+    sample_mh_within_gibbs,
+)
+
+__all__ = [
+    "base",
+    "dual_averaging",
+    "ehmc",
+    "gibbs",
+    "hmc",
+    "mcmc",
+    "mh",
+    "PosteriorSamples",
+    "sample_ehmc",
+    "sample_hmc",
+    "sample_mh",
+    "sample_mh_within_gibbs",
+]

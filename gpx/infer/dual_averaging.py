@@ -1,0 +1,110 @@
+"""Nesterov dual-averaging step-size adaptation (NUTS-paper scheme, δ=0.65).
+
+Rebuild of ``DualAverage`` (core/src/main/scala/gp/DualAveraging.scala) as a
+single ``lax.scan`` warmup. Two reference bugs are deliberately fixed
+(SURVEY.md §7):
+
+* the reference constructs ``DualAverageState`` with fields out of order
+  (``hm`` passed where ``logeps`` belongs, DualAveraging.scala:64); and
+* ``tuneStepsize`` returns ``logepsbar`` — a *log* step size — which
+  ``Ehmc.sample`` then uses directly as ``eps`` (DualAveraging.scala:121-125,
+  Ehmc.scala:112-114). Here warmup returns ``eps = exp(logepsbar)``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+from gpx.infer import hmc
+
+
+class DAState(NamedTuple):
+    """DualAverageState (DualAveraging.scala:7-11), minus the chain position."""
+
+    log_eps: jnp.ndarray
+    log_eps_bar: jnp.ndarray
+    h_bar: jnp.ndarray
+
+
+def update_eps(m, mu, delta, accept_prob, s: DAState, k=0.75, gamma=0.05, t0=10.0):
+    """DualAverage.updateEps (DualAveraging.scala:26-46)."""
+    md = m.astype(jnp.result_type(float))
+    ra = 1.0 / (md + t0)
+    h_bar = (1.0 - ra) * s.h_bar + ra * (delta - accept_prob)
+    log_eps = mu - (jnp.sqrt(md) * h_bar) / gamma
+    power = md ** (-k)
+    log_eps_bar = power * log_eps + (1.0 - power) * s.log_eps_bar
+    return DAState(log_eps=log_eps, log_eps_bar=log_eps_bar, h_bar=h_bar)
+
+
+def find_reasonable_epsilon(key, position, log_posterior, mass=None):
+    """DualAverage.findReasonableEpsilon (DualAveraging.scala:70-100): double
+    or halve ``eps`` until the one-step acceptance crosses 1/2."""
+    vag = jax.value_and_grad(log_posterior)
+    lp0, grad0 = vag(position)
+    inv_mass = 1.0 if mass is None else 1.0 / mass
+    std = 1.0 if mass is None else jnp.sqrt(mass)
+    p0 = std * random.normal(key, position.shape, position.dtype)
+
+    def log_accept(eps):
+        _, p1, _, lp1 = hmc.leapfrog(vag, position, p0, grad0, eps, 1, inv_mass)
+        return hmc.log_acceptance(lp1, p1, lp0, p0, inv_mass)
+
+    eps0 = jnp.asarray(1.0, position.dtype)
+    a = jnp.where(log_accept(eps0) > jnp.log(0.5), 1.0, -1.0)
+
+    def cond(carry):
+        eps, count = carry
+        return (a * log_accept(eps) > -a * jnp.log(2.0)) & (count < 100)
+
+    def body(carry):
+        eps, count = carry
+        return eps * (2.0**a), count + 1
+
+    eps, _ = lax.while_loop(cond, body, (eps0, jnp.asarray(0)))
+    return eps
+
+
+def warmup(
+    key,
+    position,
+    log_posterior: Callable,
+    n_warmup: int,
+    l0: int,
+    *,
+    delta: float = 0.65,
+    mass=None,
+):
+    """DualAverage.tuneStepsize (DualAveraging.scala:108-126) as one scan.
+
+    Returns ``(eps, warmed_position)`` — the adapted step size (corrected to
+    ``exp(logepsbar)``) and the post-warmup chain position, so sampling
+    resumes from the warmed state instead of re-starting cold.
+    """
+    k_eps, k_scan = random.split(key)
+    eps0 = find_reasonable_epsilon(k_eps, position, log_posterior, mass)
+    mu = jnp.log(10.0 * eps0)
+    hmc_state = hmc.init(position, log_posterior)
+    da = DAState(
+        log_eps=jnp.log(eps0),
+        log_eps_bar=jnp.zeros_like(eps0),
+        h_bar=jnp.zeros_like(eps0),
+    )
+    vag = jax.value_and_grad(log_posterior)
+
+    def body(carry, inp):
+        m, k = inp
+        hstate, da = carry
+        hstate2, log_a = hmc._step(k, hstate, vag, jnp.exp(da.log_eps), l0, mass)
+        accept_prob = jnp.minimum(1.0, jnp.exp(log_a))
+        da2 = update_eps(m, mu, delta, accept_prob, da)
+        return (hstate2, da2), None
+
+    ms = jnp.arange(1, n_warmup + 1)
+    keys = random.split(k_scan, n_warmup)
+    (hstate, da), _ = lax.scan(body, (hmc_state, da), (ms, keys))
+    return jnp.exp(da.log_eps_bar), hstate.position

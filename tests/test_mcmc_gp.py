@@ -1,0 +1,99 @@
+"""End-to-end GP hyperparameter inference: posterior recovery on simulated
+data — the reference's docs workflow (parameter_inference.md) turned into
+assertions (SURVEY.md §4 / BASELINE.md posterior-parity metric)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpx import Parameters, se, white, plane, zero
+from gpx.distributions import Gamma, Normal
+from gpx.infer import sample_hmc, sample_mh, sample_mh_within_gibbs
+from gpx.models import gp
+
+
+def _simulate(key, n=60):
+    # docs model: se(h=3.0, sigma=5.5) + white(0.5), parameter_inference.md
+    k1, k2 = jax.random.split(key)
+    x = gp.sample_points(k1, -10.0, 10.0, n)
+    truth = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    y = gp.draw(k2, truth, x)
+    return x, y, truth
+
+
+def _log_prior(p: Parameters):
+    # Gamma(2, rate 0.5) priors: mean 4, broad — covers the true values
+    pr = Gamma(concentration=jnp.asarray(2.0), rate=jnp.asarray(0.5))
+    k0, k1 = p.kernel.kernels
+    return (
+        pr.logpdf(k0.h) + pr.logpdf(k0.sigma) + pr.logpdf(k1.sigma)
+    )
+
+
+def test_mh_posterior_recovery():
+    x, y, truth = _simulate(jax.random.PRNGKey(0))
+    template = Parameters(mean=zero(), kernel=se(2.0, 2.0) + white(1.0))
+    post = sample_mh(
+        jax.random.PRNGKey(1), x, y, template, _log_prior,
+        n_samples=1500, burn_in=800, n_chains=4, proposal_scale=0.12,
+    )
+    assert post.flat.shape == (4, 1500, 3)
+    assert (np.asarray(post.accept_rate) > 0.05).all()
+    pooled = np.asarray(post.flat.reshape(-1, 3))
+    h_med, sig_med, w_med = np.median(pooled, axis=0)
+    # wide posterior at n=60 (lengthscale only weakly identified): check the
+    # truth is inside the central 98% mass
+    lo, hi = np.percentile(pooled, [1, 99], axis=0)
+    for truth_v, l, u in zip([3.0, 5.5, 0.5], lo, hi):
+        assert l < truth_v < u, (truth_v, l, u)
+    # noise variance is well-identified: tighter check
+    assert 0.2 < w_med < 1.2
+
+
+def test_hmc_posterior_recovery():
+    x, y, truth = _simulate(jax.random.PRNGKey(2))
+    template = Parameters(mean=zero(), kernel=se(2.0, 2.0) + white(1.0))
+    post = sample_hmc(
+        jax.random.PRNGKey(3), x, y, template, _log_prior,
+        n_samples=400, burn_in=100, n_chains=2, l=10, warmup_iters=150,
+    )
+    assert post.flat.shape == (2, 400, 3)
+    assert (np.asarray(post.accept_rate) > 0.5).all()
+    pooled = np.asarray(post.flat.reshape(-1, 3))
+    lo, hi = np.percentile(pooled, [2.5, 97.5], axis=0)
+    for truth_v, l, u in zip([3.0, 5.5, 0.5], lo, hi):
+        assert l < truth_v < u, (truth_v, l, u)
+
+
+def test_mh_within_gibbs_plane_mean():
+    # Temperature-style model: Plane mean over 1-D locations + SE + white
+    key = jax.random.PRNGKey(4)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = gp.sample_points(k1, -10.0, 10.0, 50)
+    truth = Parameters(
+        mean=plane(jnp.array([2.0, 0.4])), kernel=se(1.5, 3.0) + white(0.3)
+    )
+    y = gp.draw(k2, truth, x)
+    template = Parameters(
+        mean=plane(jnp.zeros(2)), kernel=se(1.0, 2.0) + white(0.5)
+    )
+
+    def log_prior_kernel(kern):
+        pr = Gamma(concentration=jnp.asarray(2.0), rate=jnp.asarray(0.5))
+        k0, k1_ = kern.kernels
+        return pr.logpdf(k0.h) + pr.logpdf(k0.sigma) + pr.logpdf(k1_.sigma)
+
+    post = sample_mh_within_gibbs(
+        k3, x, y, template, log_prior_kernel,
+        Normal(loc=jnp.asarray(0.0), scale=jnp.asarray(5.0)),
+        n_samples=600, burn_in=300, n_chains=2, proposal_scale=0.12,
+    )
+    assert post.flat.shape == (2, 600, 5)
+    pooled = np.asarray(post.flat.reshape(-1, 5))
+    names = post.names
+    beta0 = pooled[:, names.index("mean.beta_0")]
+    beta1 = pooled[:, names.index("mean.beta_1")]
+    # plane coefficients are identified up to GP-scale uncertainty
+    assert abs(np.median(beta0) - 2.0) < 1.5
+    assert abs(np.median(beta1) - 0.4) < 0.3
+    assert (np.asarray(post.accept_rate) > 0.02).all()
