@@ -1,0 +1,25 @@
+"""Multi-chip scale-out via jax.sharding (SURVEY.md §2.4).
+
+The reference's only parallelism is 2 MCMC chains on JVM threads
+(SimulatedGp.scala:163-165). Here the axes are first-class:
+
+* ``chains`` — embarrassingly parallel vmapped chains, sharded across chips;
+* ``data``  — the Gram matrix and cross-covariance sharded over matrix axes,
+  with XLA GSPMD inserting the ICI collectives.
+"""
+
+from gpx.parallel.mesh import make_mesh
+from gpx.parallel.sharded import (
+    sharded_gram,
+    sharded_logml,
+    sharded_predict,
+    sample_chains_sharded,
+)
+
+__all__ = [
+    "make_mesh",
+    "sharded_gram",
+    "sharded_logml",
+    "sharded_predict",
+    "sample_chains_sharded",
+]

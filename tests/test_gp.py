@@ -59,6 +59,21 @@ def test_logml_grad_vs_finite_differences(rng):
     np.testing.assert_allclose(grad, fd, rtol=1e-5, atol=1e-7)
 
 
+def test_analytic_grad_matches_autodiff(rng):
+    # trace-identity gradient == autodiff through Cholesky, incl. Plane mean
+    x = random_locations(rng, 18, 2, scale=4.0)
+    p = Parameters(
+        mean=plane(np.array([1.0, -0.5, 0.3])),
+        kernel=se(3.0, 5.5) + white(0.5),
+    )
+    y = rng.normal(size=18)
+    v1, g1 = gp.logml_value_and_grad(p, x, y, method="analytic")
+    v2, g2 = gp.logml_value_and_grad(p, x, y, method="autodiff")
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+
 def test_predict_matches_direct_conditioning(rng):
     p, x, y = _toy(rng, n=20)
     xs = random_locations(rng, 7, 1, scale=5.0)

@@ -1,0 +1,86 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh (SURVEY.md §4):
+sharded results must equal single-device results exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpx import Parameters, se, white, zero
+from gpx.infer import base, mh
+from gpx.models import gp
+from gpx.ops import gram
+from gpx.parallel import (
+    make_mesh,
+    sample_chains_sharded,
+    sharded_gram,
+    sharded_logml,
+    sharded_predict,
+)
+
+from .util import random_locations
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _toy(rng, n=64):
+    x = random_locations(rng, n, 1, scale=5.0)
+    p = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    y = rng.normal(size=n)
+    return p, jnp.asarray(x), jnp.asarray(y)
+
+
+def test_make_mesh_inference():
+    mesh = make_mesh(chains=2, data=-1)
+    assert mesh.shape == {"chains": 2, "data": 4}
+    with pytest.raises(ValueError):
+        make_mesh(chains=16)
+
+
+def test_sharded_gram_matches_single_device(rng):
+    p, x, _ = _toy(rng)
+    mesh = make_mesh(i=4, j=2)
+    k_sharded = sharded_gram(p.kernel, x, mesh, nugget=1e-3)
+    k_local = gram(p.kernel, x, nugget=1e-3, method="xla")
+    assert len(k_sharded.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(k_sharded), np.asarray(k_local), rtol=1e-12)
+
+
+def test_sharded_logml_matches(rng):
+    p, x, y = _toy(rng)
+    mesh = make_mesh(data=8)
+    got = sharded_logml(p, x, y, mesh)
+    want = gp.log_marginal_likelihood(p, x, y)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
+
+
+def test_sharded_predict_matches(rng):
+    p, x, y = _toy(rng)
+    xs = jnp.asarray(random_locations(rng, 40, 1, scale=5.0))
+    mesh = make_mesh(data=8)
+    got = sharded_predict(p, x, y, xs, mesh)
+    want = gp.fit(p, x, y, xs)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(got.variance), np.asarray(want.variance), rtol=1e-8, atol=1e-12
+    )
+    with pytest.raises(ValueError):
+        sharded_predict(p, x, y, xs[:37], mesh)  # 37 doesn't divide over 8
+
+
+def test_sharded_chains_run_and_differ(rng):
+    mesh = make_mesh(chains=8)
+    logpost = lambda q: -0.5 * jnp.sum(q * q)
+    step = mh.kernel(logpost, mh.gaussian_random_walk(1.0))
+    init = mh.init(jnp.zeros(2), logpost)
+    result = sample_chains_sharded(
+        step, init, jax.random.PRNGKey(0), 200, 8, mesh,
+        collect=lambda s: s.position,
+    )
+    assert result.samples.shape == (8, 200, 2)
+    # chains evolved independently
+    assert not np.allclose(result.samples[0], result.samples[7])
+    draws = np.asarray(result.samples[:, 50:, :]).reshape(-1, 2)
+    np.testing.assert_allclose(draws.mean(0), 0.0, atol=0.2)
