@@ -1,5 +1,5 @@
 """Model families: GP regression, GP classification, DLM / DLM-GP."""
 
-from gpx.models import gp
+from gpx.models import classify, dlm, dlmgp, gp
 
-__all__ = ["gp"]
+__all__ = ["classify", "dlm", "dlmgp", "gp"]

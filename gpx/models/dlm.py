@@ -1,0 +1,274 @@
+"""Dynamic linear models: Kalman filtering, FFBS, Gibbs, forecasting.
+
+The reference reaches DLM machinery through the external ``bayesian_dlms``
+library (build.sbt:84-89): seasonal/polynomial model builders and ``|+|``
+composition (TemperatureDlm.scala:83), SVD/FFBS state sampling and Gibbs V/W
+updates (FitDlmGp.scala:72, TemperatureDlm.scala:98-128), Kalman forecasting
+(DlmGp.scala:100-133). This module is the TPU-native equivalent: filters and
+samplers are ``lax.scan`` loops over time, so a whole Gibbs sweep (FFBS +
+variance draws) is one XLA program.
+
+Model: ``y_t = F x_t + v_t``, ``v_t ~ N(0, V)``;
+``x_t = G x_{t-1} + w_t``, ``w_t ~ N(0, W)``; ``x_0 ~ N(m0, C0)``.
+``F: (d_obs, d_state)``, time-invariant (the reference's constant models).
+Missing observations are NaNs, skipped in the update step (the reference's
+missing-data handling, DlmGp.toGpData at examples/DlmGp.scala:139-149).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+from gpx.distributions import InverseGamma
+from gpx.utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class DLM:
+    """Model matrices (static structure, dynamic values)."""
+
+    f: jnp.ndarray  # (d_obs, d_state) observation matrix
+    g: jnp.ndarray  # (d_state, d_state) evolution matrix
+
+    def __add__(self, other: "DLM") -> "DLM":
+        """Block composition — bayesian_dlms ``|+|`` (TemperatureDlm.scala:83).
+        Observation rows are summed contributions, so compose only
+        same-d_obs components (the standard DLM superposition)."""
+        f = jnp.concatenate([self.f, other.f], axis=1)
+        g = jax.scipy.linalg.block_diag(self.g, other.g)
+        return DLM(f=f, g=g)
+
+
+def polynomial(order: int) -> DLM:
+    """Polynomial trend DLM (order 1 = local level)."""
+    g = jnp.eye(order) + jnp.diag(jnp.ones(order - 1), 1) if order > 1 else jnp.eye(1)
+    f = jnp.zeros((1, order)).at[0, 0].set(1.0)
+    return DLM(f=f, g=g)
+
+
+def seasonal(period: int, harmonics: int) -> DLM:
+    """Fourier-form seasonal DLM with ``harmonics`` harmonic pairs."""
+    blocks = []
+    f_parts = []
+    for h in range(1, harmonics + 1):
+        w = 2.0 * jnp.pi * h / period
+        c, s = jnp.cos(w), jnp.sin(w)
+        blocks.append(jnp.array([[c, s], [-s, c]]))
+        f_parts.append(jnp.array([1.0, 0.0]))
+    g = jax.scipy.linalg.block_diag(*blocks)
+    f = jnp.concatenate(f_parts)[None, :]
+    return DLM(f=f, g=g)
+
+
+def replicate_observations(model: DLM, n: int) -> DLM:
+    """Share one latent state across ``n`` sensors — the reference's
+    8-sensor shared-state model (TemperatureDlm.scala:84-86):
+    F becomes ``n`` identical observation rows."""
+    return DLM(f=jnp.tile(model.f, (n, 1)), g=model.g)
+
+
+class FilterResult(NamedTuple):
+    """Per-time filtering output (all stacked over the leading time axis)."""
+
+    m: jnp.ndarray        # (T, d_state) posterior state means
+    c: jnp.ndarray        # (T, d_state, d_state) posterior state covs
+    a: jnp.ndarray        # (T, d_state) one-step-ahead state means
+    r: jnp.ndarray        # (T, d_state, d_state) one-step-ahead state covs
+    log_likelihood: jnp.ndarray
+
+
+def _sym(m):
+    return 0.5 * (m + m.swapaxes(-1, -2))
+
+
+def kalman_filter(model: DLM, ys, v, w, m0, c0) -> FilterResult:
+    """Forward Kalman filter as one scan. ``ys: (T, d_obs)`` with NaNs for
+    missing entries; ``v``: (d_obs, d_obs) or (d_obs,) diagonal; ``w``:
+    (d_state,) diagonal or full."""
+    f, g = model.f, model.g
+    d_obs, d_state = f.shape
+    v_mat = jnp.diag(v) if v.ndim == 1 else v
+    w_mat = jnp.diag(w) if w.ndim == 1 else w
+
+    def step(carry, y):
+        m_prev, c_prev, ll = carry
+        a = g @ m_prev
+        r = _sym(g @ c_prev @ g.T + w_mat)
+
+        mask = jnp.isfinite(y)                       # observed entries
+        y0 = jnp.where(mask, y, 0.0)
+        # missing entries: zero their rows of F (no information) and give
+        # them unit pseudo-variance so Q stays invertible
+        f_eff = jnp.where(mask[:, None], f, 0.0)
+        fhat = f_eff @ a
+        q = f_eff @ r @ f_eff.T + v_mat
+        q = q + jnp.diag(jnp.where(mask, 0.0, 1.0))
+        e = jnp.where(mask, y0 - fhat, 0.0)
+
+        q_chol = jnp.linalg.cholesky(_sym(q))
+        sol = jax.scipy.linalg.cho_solve((q_chol, True), f_eff @ r)  # Q^{-1} F R
+        k_gain = sol.swapaxes(-1, -2)                               # R F^T Q^{-1}
+        m = a + k_gain @ e
+        c = _sym(r - k_gain @ (f_eff @ r))
+
+        u = jax.scipy.linalg.solve_triangular(q_chol, e, lower=True)
+        n_obs = jnp.sum(mask)
+        ll_t = -0.5 * (u @ u) - jnp.sum(
+            jnp.where(mask, jnp.log(jnp.diagonal(q_chol)), 0.0)
+        ) - 0.5 * n_obs * jnp.log(2.0 * jnp.pi)
+        return (m, c, ll + ll_t), (m, c, a, r)
+
+    (_, _, ll), (ms, cs, as_, rs) = lax.scan(step, (m0, c0, 0.0), ys)
+    return FilterResult(m=ms, c=cs, a=as_, r=rs, log_likelihood=ll)
+
+
+def ffbs(key, model: DLM, filtered: FilterResult):
+    """Forward-filter backward-sample state draw (the SvdSampler.ffbsDlm
+    capability, FitDlmGp.scala:121-125) as a reverse scan.
+
+    Returns sampled states ``(T, d_state)``.
+    """
+    g = model.g
+    ms, cs, as_, rs = filtered.m, filtered.c, filtered.a, filtered.r
+    t_len, d_state = ms.shape
+
+    def draw(k, mean, cov, jitter=1e-9):
+        chol = jnp.linalg.cholesky(_sym(cov) + jitter * jnp.eye(d_state))
+        return mean + chol @ random.normal(k, (d_state,), dtype=mean.dtype)
+
+    keys = random.split(key, t_len)
+    x_last = draw(keys[-1], ms[-1], cs[-1])
+
+    def back_step(x_next, inp):
+        k, m, c, a_next, r_next = inp
+        # B = C G^T R_{next}^{-1}
+        r_chol = jnp.linalg.cholesky(_sym(r_next) + 1e-9 * jnp.eye(d_state))
+        sol = jax.scipy.linalg.cho_solve((r_chol, True), g @ c)  # R^{-1} G C
+        b = sol.swapaxes(-1, -2)
+        mean = m + b @ (x_next - a_next)
+        cov = c - b @ r_next @ b.T
+        x = draw(k, mean, cov)
+        return x, x
+
+    inputs = (keys[:-1], ms[:-1], cs[:-1], as_[1:], rs[1:])
+    _, xs_rev = lax.scan(back_step, x_last, inputs, reverse=True)
+    return jnp.concatenate([xs_rev, x_last[None]], axis=0)
+
+
+def smooth(model: DLM, filtered: FilterResult):
+    """RTS smoother (the reference's smoothing study,
+    TemperatureDlm.scala:256-359). Returns (means, covs)."""
+    g = model.g
+    ms, cs, as_, rs = filtered.m, filtered.c, filtered.a, filtered.r
+    d_state = ms.shape[1]
+
+    def back_step(carry, inp):
+        s_next, ss_next = carry
+        m, c, a_next, r_next = inp
+        r_chol = jnp.linalg.cholesky(_sym(r_next) + 1e-9 * jnp.eye(d_state))
+        sol = jax.scipy.linalg.cho_solve((r_chol, True), g @ c)
+        b = sol.swapaxes(-1, -2)
+        s = m + b @ (s_next - a_next)
+        ss = _sym(c + b @ (ss_next - r_next) @ b.T)
+        return (s, ss), (s, ss)
+
+    inputs = (ms[:-1], cs[:-1], as_[1:], rs[1:])
+    (_, _), (s_rev, ss_rev) = lax.scan(
+        back_step, (ms[-1], cs[-1]), inputs, reverse=True
+    )
+    means = jnp.concatenate([s_rev, ms[-1][None]], axis=0)
+    covs = jnp.concatenate([ss_rev, cs[-1][None]], axis=0)
+    return means, covs
+
+
+def forecast(model: DLM, m_last, c_last, v, w, n_ahead: int):
+    """Iterated one-step-ahead forecast (DlmGp.forecastStep,
+    examples/DlmGp.scala:100-133). Returns (obs_means, obs_covs)."""
+    f, g = model.f, model.g
+    v_mat = jnp.diag(v) if v.ndim == 1 else v
+    w_mat = jnp.diag(w) if w.ndim == 1 else w
+
+    def step(carry, _):
+        m, c = carry
+        a = g @ m
+        r = _sym(g @ c @ g.T + w_mat)
+        fmean = f @ a
+        fcov = f @ r @ f.T + v_mat
+        return (a, r), (fmean, fcov)
+
+    _, (means, covs) = lax.scan(step, (m_last, c_last), None, length=n_ahead)
+    return means, covs
+
+
+def sample_observation_variance(key, prior: InverseGamma, model: DLM, ys, xs):
+    """d-inverse-gamma Gibbs update of diagonal V given sampled states
+    (the GibbsSampling.stepSvd V-draw capability, FitDlmGp.scala:72)."""
+    mask = jnp.isfinite(ys)
+    resid = jnp.where(mask, ys - xs @ model.f.T, 0.0)   # (T, d_obs)
+    n = jnp.sum(mask, axis=0)
+    ss = jnp.sum(resid**2, axis=0)
+    post = InverseGamma(
+        concentration=prior.concentration + 0.5 * n,
+        scale=prior.scale + 0.5 * ss,
+    )
+    return _ig_draw(key, post, ys.shape[1])
+
+
+def sample_system_variance(key, prior: InverseGamma, model: DLM, xs):
+    """d-inverse-gamma Gibbs update of diagonal W given sampled states."""
+    innov = xs[1:] - xs[:-1] @ model.g.T          # (T-1, d_state)
+    t1 = innov.shape[0]
+    ss = jnp.sum(innov**2, axis=0)
+    post = InverseGamma(
+        concentration=prior.concentration + 0.5 * t1,
+        scale=prior.scale + 0.5 * ss,
+    )
+    return _ig_draw(key, post, xs.shape[1])
+
+
+def _ig_draw(key, post: InverseGamma, d: int):
+    # element-wise IG draws with per-element concentration/scale
+    g = random.gamma(key, post.concentration, (d,))
+    return post.scale / g
+
+
+class GibbsResult(NamedTuple):
+    v: jnp.ndarray   # (iters, d_obs)
+    w: jnp.ndarray   # (iters, d_state)
+    states: jnp.ndarray  # (iters, T, d_state) — last kept draw per iter
+
+
+def gibbs_sample(
+    key,
+    model: DLM,
+    ys,
+    prior_v: InverseGamma,
+    prior_w: InverseGamma,
+    m0,
+    c0,
+    n_iters: int,
+    *,
+    v0=None,
+    w0=None,
+):
+    """FFBS-within-Gibbs for (states, V, W) — the GibbsSampling.sample
+    capability (TemperatureDlm.scala:98-128) as one scan."""
+    d_obs, d_state = model.f.shape
+    v = jnp.ones(d_obs) if v0 is None else jnp.asarray(v0)
+    w = jnp.ones(d_state) * 0.1 if w0 is None else jnp.asarray(w0)
+
+    def step(carry, k):
+        v, w = carry
+        k1, k2, k3 = random.split(k, 3)
+        filtered = kalman_filter(model, ys, v, w, m0, c0)
+        xs = ffbs(k1, model, filtered)
+        v_new = sample_observation_variance(k2, prior_v, model, ys, xs)
+        w_new = sample_system_variance(k3, prior_w, model, xs)
+        return (v_new, w_new), (v_new, w_new, xs)
+
+    (_, _), (vs, ws, states) = lax.scan(step, (v, w), random.split(key, n_iters))
+    return GibbsResult(v=vs, w=ws, states=states)

@@ -139,10 +139,12 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
         - 0.5 * n * jnp.log(2.0 * jnp.pi)
     )
 
-    # K^{-1} = L^{-T} L^{-1}; cotangent W = 0.5 (alpha alpha^T - K^{-1})
-    eye = jnp.eye(n, dtype=l.dtype)
-    l_inv = forward_solve(l, eye)
-    k_inv = l_inv.T @ l_inv
+    # K^{-1} = L^{-T} L^{-1} via blocked triangular inversion (pure MXU
+    # matmuls; XLA's trsm against an identity RHS OOMs at N=16k);
+    # cotangent W = 0.5 (alpha alpha^T - K^{-1})
+    from gpx.ops.chol import spd_inverse_from_chol
+
+    k_inv = spd_inverse_from_chol(l)
     w = 0.5 * (jnp.outer(alpha, alpha) - k_inv)
 
     (d_kernel,) = gram_vjp(w.astype(k_val.dtype))

@@ -45,6 +45,49 @@ def cho_solve(l, b):
     )
 
 
+def tri_inverse_lower(l, base: int = 256):
+    """Explicit inverse of a lower-triangular matrix by divide-and-conquer:
+
+    ``inv([[A, 0], [B, C]]) = [[A^{-1}, 0], [-C^{-1} B A^{-1}, C^{-1}]]``
+
+    The recursion bottoms out in small ``trsm`` base cases and otherwise
+    consists purely of large matmuls — exactly what the MXU wants. This is
+    the TPU-native replacement for LAPACK ``trtri``: XLA's own
+    ``triangular_solve`` against an identity RHS at N=16k allocates ~67 GB
+    of temporaries on TPU (blocked update chains kept live), while this
+    formulation stays at O(N^2) memory and N^3/3 MACs.
+
+    Feeds ``K^{-1} = L^{-T} L^{-1}`` in the analytic logML gradient
+    (gpx.models.gp._logml_value_and_grad_analytic).
+    """
+    n = l.shape[-1]
+    if n <= base:
+        return solve_triangular(l, jnp.eye(n, dtype=l.dtype), lower=True)
+    # split at a hardware-aligned midpoint (multiples of 128 lanes)
+    m = max(128, ((n // 2) // 128) * 128) if n > 256 else n // 2
+    a = l[..., :m, :m]
+    b = l[..., m:, :m]
+    c = l[..., m:, m:]
+    a_inv = tri_inverse_lower(a, base)
+    c_inv = tri_inverse_lower(c, base)
+    ba = jnp.matmul(b, a_inv, preferred_element_type=l.dtype)
+    lower_left = -jnp.matmul(c_inv, ba, preferred_element_type=l.dtype)
+    top = jnp.concatenate(
+        [a_inv, jnp.zeros((*l.shape[:-2], m, n - m), dtype=l.dtype)], axis=-1
+    )
+    bottom = jnp.concatenate([lower_left, c_inv], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def spd_inverse_from_chol(l, base: int = 256):
+    """``K^{-1}`` from the lower Cholesky factor: blocked triangular inverse
+    + one syrk-shaped matmul (the LAPACK ``potri`` capability)."""
+    l_inv = tri_inverse_lower(l, base)
+    return jnp.matmul(
+        l_inv.swapaxes(-1, -2), l_inv, preferred_element_type=l.dtype
+    )
+
+
 def logdet_from_chol(l):
     """``log det K = 2 sum log diag(L)``; the loglikelihood uses the
     half-logdet ``sum log diag(L)`` directly (GaussianProcess.scala:126)."""

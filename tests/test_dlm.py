@@ -1,0 +1,155 @@
+"""DLM: Kalman filter vs hand computation, FFBS/smoother coherence, Gibbs
+variance recovery, forecasting, and the DLM-GP joint model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpx import Parameters, se, white, zero
+from gpx.distributions import InverseGamma
+from gpx.models import dlm, dlmgp, gp
+
+
+def _local_level(v=0.5, w=0.1):
+    return dlm.polynomial(1), jnp.array([v]), jnp.array([w])
+
+
+def _simulate_local_level(rng, t=200, v=0.5, w=0.1):
+    x = np.zeros(t)
+    for i in range(1, t):
+        x[i] = x[i - 1] + rng.normal() * np.sqrt(w)
+    y = x + rng.normal(size=t) * np.sqrt(v)
+    return x, y[:, None]
+
+
+def test_kalman_filter_matches_hand_rolled(rng):
+    model, v, w = _local_level()
+    _, ys = _simulate_local_level(rng, t=50)
+    m0, c0 = jnp.zeros(1), jnp.eye(1) * 10.0
+    result = dlm.kalman_filter(model, jnp.asarray(ys), v, w, m0, c0)
+
+    # scalar local-level recursion by hand
+    m, c = 0.0, 10.0
+    lls = 0.0
+    for t in range(50):
+        a, r = m, c + 0.1
+        q = r + 0.5
+        e = ys[t, 0] - a
+        k = r / q
+        m, c = a + k * e, r - k * r
+        lls += -0.5 * (e**2 / q + np.log(q) + np.log(2 * np.pi))
+        np.testing.assert_allclose(float(result.m[t, 0]), m, rtol=1e-8)
+        np.testing.assert_allclose(float(result.c[t, 0, 0]), c, rtol=1e-8)
+    np.testing.assert_allclose(float(result.log_likelihood), lls, rtol=1e-8)
+
+
+def test_kalman_filter_missing_data(rng):
+    model, v, w = _local_level()
+    _, ys = _simulate_local_level(rng, t=60)
+    ys_missing = ys.copy()
+    ys_missing[10:20] = np.nan
+    m0, c0 = jnp.zeros(1), jnp.eye(1) * 10.0
+    result = dlm.kalman_filter(model, jnp.asarray(ys_missing), v, w, m0, c0)
+    assert np.isfinite(np.asarray(result.m)).all()
+    # during the gap, uncertainty grows monotonically
+    cs = np.asarray(result.c)[:, 0, 0]
+    assert (np.diff(cs[10:20]) > 0).all()
+
+
+def test_ffbs_marginals_match_smoother(rng):
+    model, v, w = _local_level()
+    _, ys = _simulate_local_level(rng, t=40)
+    m0, c0 = jnp.zeros(1), jnp.eye(1) * 10.0
+    filtered = dlm.kalman_filter(model, jnp.asarray(ys), v, w, m0, c0)
+    smooth_m, smooth_c = dlm.smooth(model, filtered)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3000)
+    draws = jax.vmap(lambda k: dlm.ffbs(k, model, filtered))(keys)
+    draws = np.asarray(draws)[:, :, 0]
+    np.testing.assert_allclose(draws.mean(0), np.asarray(smooth_m)[:, 0], atol=0.05)
+    np.testing.assert_allclose(
+        draws.var(0), np.asarray(smooth_c)[:, 0, 0], atol=0.05
+    )
+
+
+def test_seasonal_polynomial_composition():
+    model = dlm.polynomial(1) + dlm.seasonal(24, 3)
+    assert model.g.shape == (7, 7)
+    assert model.f.shape == (1, 7)
+    rep = dlm.replicate_observations(model, 8)
+    assert rep.f.shape == (8, 7)
+    # seasonal rotation blocks are orthogonal: G_seas @ G_seas^T = I
+    gs = np.asarray(dlm.seasonal(24, 3).g)
+    np.testing.assert_allclose(gs @ gs.T, np.eye(6), atol=1e-12)
+
+
+def test_gibbs_recovers_variances(rng):
+    model, v, w = _local_level(v=0.5, w=0.05)
+    _, ys = _simulate_local_level(rng, t=400, v=0.5, w=0.05)
+    m0, c0 = jnp.zeros(1), jnp.eye(1) * 10.0
+    prior = InverseGamma(concentration=jnp.asarray(3.0), scale=jnp.asarray(0.5))
+    result = dlm.gibbs_sample(
+        jax.random.PRNGKey(1), model, jnp.asarray(ys), prior, prior, m0, c0, 600
+    )
+    v_draws = np.asarray(result.v)[200:, 0]
+    w_draws = np.asarray(result.w)[200:, 0]
+    assert 0.3 < np.median(v_draws) < 0.8, np.median(v_draws)
+    assert 0.01 < np.median(w_draws) < 0.15, np.median(w_draws)
+
+
+def test_forecast_variance_grows(rng):
+    model, v, w = _local_level()
+    _, ys = _simulate_local_level(rng, t=100)
+    m0, c0 = jnp.zeros(1), jnp.eye(1) * 10.0
+    filtered = dlm.kalman_filter(model, jnp.asarray(ys), v, w, m0, c0)
+    means, covs = dlm.forecast(model, filtered.m[-1], filtered.c[-1], v, w, 10)
+    assert means.shape == (10, 1) and covs.shape == (10, 1, 1)
+    assert (np.diff(np.asarray(covs)[:, 0, 0]) > 0).all()
+
+
+def test_grid_locations():
+    grid = dlmgp.grid_locations((0.0, 1.0), (0.0, 2.0), 3, 5)
+    assert grid.shape == (15, 2)
+    assert float(grid[:, 0].min()) == 0.0 and float(grid[:, 0].max()) == 1.0
+    assert float(grid[:, 1].max()) == 2.0
+
+
+def test_replicated_logml_matches_sum(rng):
+    x = jnp.asarray(rng.uniform(-3, 3, size=(10, 2)))
+    p = Parameters(mean=zero(), kernel=se(2.0, 3.0) + white(0.3))
+    resids = jnp.asarray(rng.normal(size=(7, 10)))
+    got = float(dlmgp.replicated_log_marginal_likelihood(p, x, resids))
+    want = sum(
+        float(gp.log_marginal_likelihood(p, x, resids[t])) for t in range(7)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_dlmgp_simulate_and_gibbs_runs(rng):
+    # small smoke: simulate the joint model, run a short Gibbs, check health
+    locations = jnp.asarray(rng.uniform(0, 5, size=(6, 2)))
+    model = dlm.replicate_observations(dlm.polynomial(1), 6)
+    truth = Parameters(mean=zero(), kernel=se(1.0, 2.0) + white(0.2))
+    states, ys = dlmgp.simulate(
+        jax.random.PRNGKey(2), model, truth, locations,
+        v_extra=jnp.asarray(0.01), w=jnp.array([0.1]), m0=jnp.zeros(1),
+        n_steps=50,
+    )
+    assert ys.shape == (50, 6) and states.shape == (50, 1)
+
+    from gpx.distributions import Gamma
+
+    def log_prior_kernel(kern):
+        pr = Gamma(concentration=jnp.asarray(2.0), rate=jnp.asarray(0.5))
+        k0, k1 = kern.kernels
+        return pr.logpdf(k0.h) + pr.logpdf(k0.sigma) + pr.logpdf(k1.sigma)
+
+    prior_w = InverseGamma(concentration=jnp.asarray(3.0), scale=jnp.asarray(0.2))
+    result = dlmgp.gibbs_sample(
+        jax.random.PRNGKey(3), model, ys, locations, truth, log_prior_kernel,
+        prior_w, m0=jnp.zeros(1), c0=jnp.eye(1) * 10.0, n_iters=100,
+    )
+    assert result.kernel_flat.shape == (100, 3)
+    assert np.isfinite(np.asarray(result.kernel_flat)).all()
+    assert np.isfinite(np.asarray(result.w)).all()
+    assert 0.0 <= float(result.accept_rate) <= 1.0
