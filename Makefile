@@ -1,0 +1,42 @@
+# Example launchers — mirrors the reference Makefile targets (Makefile:1-11)
+
+N_ITERS ?= 1000
+
+simulated:
+	python examples/simulated_gp.py simulate
+	python examples/simulated_gp.py fit
+	python examples/simulated_gp.py parameters $(N_ITERS)
+
+hmc_simulated:
+	python examples/simulated_gp.py hmc $(N_ITERS)
+
+posterior_predictive:
+	python examples/simulated_gp.py posterior-predictive $(N_ITERS)
+
+fit_temp_gp:
+	python examples/temperature.py $(N_ITERS)
+
+krig_temperature:
+	python examples/temperature_kriging.py
+
+fit_temp_dlm:
+	python examples/temperature_dlm.py $(N_ITERS)
+
+forecast_temperature_dlm:
+	python examples/temperature_dlm.py $(N_ITERS) --forecast 48
+
+fit_dlm_gp:
+	python examples/dlm_gp.py $(N_ITERS)
+
+mnist:
+	python examples/mnist_classify.py
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+.PHONY: simulated hmc_simulated posterior_predictive fit_temp_gp \
+	krig_temperature fit_temp_dlm forecast_temperature_dlm fit_dlm_gp \
+	mnist test bench

@@ -21,10 +21,32 @@ import numpy as np
 
 
 def write_chain_csv(path, flat, names):
-    """One chain -> CSV with a header row. ``flat``: (n_draws, dim)."""
-    flat = np.asarray(flat)
+    """One chain -> CSV with a header row. ``flat``: (n_draws, dim).
+
+    Uses the native C++ writer (gpx/native/fastcsv.cpp) when available —
+    roughly an order of magnitude faster than the csv module on long chains
+    — with a pure-Python fallback."""
+    flat = np.ascontiguousarray(np.asarray(flat, dtype=np.float64))
+    if flat.ndim == 1:
+        flat = flat[:, None]
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+
+    from gpx.native import load_fastcsv
+
+    lib = load_fastcsv()
+    if lib is not None:
+        import ctypes
+
+        rc = lib.gpx_write_csv(
+            str(path).encode(),
+            ",".join(names).encode(),
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            flat.shape[0],
+            flat.shape[1],
+        )
+        if rc == 0:
+            return path
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(names)
@@ -47,12 +69,36 @@ def write_chains_csv(base_path, flat, names):
 
 def read_chain_csv(path, burn_in: int = 0, thin: int = 1):
     """Read a chain CSV with burn-in drop + thinning at read time
-    (Temperature.scala:137-141). Returns ``(flat, names)``."""
+    (Temperature.scala:137-141). Returns ``(flat, names)``. Native C++
+    parser with Python fallback."""
+    with open(path, newline="") as f:
+        names = f.readline().strip().split(",")
+
+    from gpx.native import load_fastcsv
+
+    lib = load_fastcsv()
+    if lib is not None:
+        import ctypes
+
+        rows = ctypes.c_int64()
+        cols = ctypes.c_int64()
+        if lib.gpx_csv_shape(str(path).encode(), ctypes.byref(rows),
+                             ctypes.byref(cols)) == 0:
+            out = np.empty((rows.value, cols.value), dtype=np.float64)
+            rc = lib.gpx_read_csv(
+                str(path).encode(),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                rows.value,
+                cols.value,
+            )
+            if rc == 0:
+                return out[burn_in::thin], names
+
     with open(path, newline="") as f:
         r = csv.reader(f)
-        names = next(r)
-        rows = [[float(v) for v in row] for row in r]
-    flat = np.asarray(rows)[burn_in::thin]
+        next(r)
+        rows_l = [[float(v) for v in row] for row in r]
+    flat = np.asarray(rows_l)[burn_in::thin]
     return flat, names
 
 

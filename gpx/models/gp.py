@@ -139,15 +139,26 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
         - 0.5 * n * jnp.log(2.0 * jnp.pi)
     )
 
-    # K^{-1} = L^{-T} L^{-1} via blocked triangular inversion (pure MXU
-    # matmuls; XLA's trsm against an identity RHS OOMs at N=16k);
-    # cotangent W = 0.5 (alpha alpha^T - K^{-1})
-    from gpx.ops.chol import spd_inverse_from_chol
+    from gpx.ops.chol import spd_inverse_from_chol, tri_inverse_lower
 
-    k_inv = spd_inverse_from_chol(l)
-    w = 0.5 * (jnp.outer(alpha, alpha) - k_inv)
+    if jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096:
+        # fully fused path: K^{-1}/W never materialize; lower-triangle-only
+        # accumulation costs N^3/6 MACs (gpx.ops.pallas_logml_grad)
+        from gpx.ops.pallas_logml_grad import logml_kernel_grads
 
-    (d_kernel,) = gram_vjp(w.astype(k_val.dtype))
+        l_inv = tri_inverse_lower(l)
+        d_kernel = logml_kernel_grads(params.kernel, x, alpha, l_inv)
+        d_kernel = jax.tree_util.tree_map(
+            lambda leaf, g: g.astype(jnp.result_type(leaf)),
+            params.kernel,
+            d_kernel,
+        )
+    else:
+        # XLA path: explicit K^{-1} (blocked triangular inversion + syrk —
+        # XLA's trsm against an identity RHS OOMs at N=16k) and one gram VJP
+        k_inv = spd_inverse_from_chol(l)
+        w = 0.5 * (jnp.outer(alpha, alpha) - k_inv)
+        (d_kernel,) = gram_vjp(w.astype(k_val.dtype))
     (d_mean,) = mean_vjp(alpha.astype(mean_val.dtype))
     return value, Parameters(mean=d_mean, kernel=d_kernel)
 
