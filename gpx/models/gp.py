@@ -75,20 +75,35 @@ def draw(key, params: Parameters, x, *, nugget: float = DRAW_NUGGET, shape=()):
 
 
 def log_marginal_likelihood(
-    params: Parameters, x, y, *, nugget: float = LOGML_NUGGET
+    params: Parameters, x, y, *, nugget: float = LOGML_NUGGET,
+    safe: bool = False,
 ):
     """Exact GP marginal log-likelihood — GaussianProcess.loglikelihood
     (GaussianProcess.scala:109-127): fused Gram + nugget, one Cholesky, one
     forward solve. Differentiable in ``params`` via autodiff through the
-    Cholesky (replaces mllGradient, GaussianProcess.scala:166-187)."""
+    Cholesky (replaces mllGradient, GaussianProcess.scala:166-187).
+
+    ``safe=True`` detects Cholesky failure (NaNs from a non-PSD Gram, e.g.
+    extreme proposals during MCMC) and escalates the nugget before giving up
+    and returning ``-inf`` — so a sampler rejects the move instead of
+    propagating NaNs (SURVEY.md §5 failure detection)."""
     x = as_locations(x)
     n = x.shape[0]
     kxx = params.kernel.gram(x, nugget=nugget)
-    l = cholesky(kxx)
+    if safe:
+        from gpx.ops.safe_chol import safe_cholesky
+
+        result = safe_cholesky(kxx)
+        l = result.chol
+    else:
+        l = cholesky(kxx)
     resid = y - params.mean(x)
     u = forward_solve(l, resid)
     half_logdet = jnp.sum(jnp.log(jnp.diagonal(l)))
-    return -0.5 * u @ u - half_logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    value = -0.5 * u @ u - half_logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    if safe:
+        value = jnp.where(result.failed, -jnp.inf, value)
+    return value
 
 
 def logml_value_and_grad(

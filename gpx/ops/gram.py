@@ -64,6 +64,37 @@ def cross_gram(kernel, x1, x2, *, method: str = "auto"):
     return gram(kernel, x1, as_locations(x2), method=method)
 
 
+def tangent_grams(kernel, x, *, method: str = "auto"):
+    """Per-hyperparameter derivative matrices ``dK/d theta_i`` — the
+    reference's tangentMatrix (KernelParameters.scala:289-300), computed by
+    forward-mode autodiff of the fused Gram build instead of hand-derived
+    per-entry formulas (which carry sign bugs, KernelParameters.scala:276-277).
+
+    Returns a kernel-shaped pytree whose leaves are (N, N) matrices. For the
+    gradient of the marginal likelihood itself, prefer
+    ``gp.logml_value_and_grad`` — it contracts these tangents against the
+    cotangent without materializing one matrix per parameter.
+    """
+    import jax
+
+    x = as_locations(x)
+    leaves, treedef = jax.tree_util.tree_flatten(kernel)
+
+    def gram_from(leaves_):
+        k = jax.tree_util.tree_unflatten(treedef, leaves_)
+        return gram(k, x, method=method)
+
+    tangents = []
+    for i in range(len(leaves)):
+        seed = [
+            jnp.ones_like(l) if j == i else jnp.zeros_like(l)
+            for j, l in enumerate(leaves)
+        ]
+        _, t = jax.jvp(gram_from, (leaves,), (seed,))
+        tangents.append(t)
+    return jax.tree_util.tree_unflatten(treedef, tangents)
+
+
 def build_cov_matrix(kxx, kyy, kxy):
     """Assemble ``[[kxx, kxy], [kxy^T, kyy]]`` — KernelFunction.buildCovMatrix
     (KernelFunction.scala:60-79), done with two stacked concatenations instead

@@ -115,6 +115,23 @@ def diagnostic_plots(flat, names):
     return fig
 
 
+def contour_plot(x, values, ax=None, levels=20):
+    """Contour plot of a GP over 2-D locations — the capability the
+    reference sketched but left commented out (Plot.scala:69-81).
+
+    ``x``: (N, 2) locations, ``values``: (N,) e.g. posterior mean.
+    """
+    fig, ax = _get_ax(ax)
+    x = np.asarray(x)
+    if x.ndim != 2 or x.shape[1] != 2:
+        raise ValueError("contour plot needs two-dimensional location data")
+    tri = ax.tricontourf(x[:, 0], x[:, 1], np.asarray(values), levels=levels)
+    fig.colorbar(tri, ax=ax)
+    ax.set_xlabel("x1")
+    ax.set_ylabel("x2")
+    return fig
+
+
 def savefig(fig, path, dpi=120):
     fig.savefig(path, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
