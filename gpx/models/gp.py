@@ -134,7 +134,7 @@ def logml_value_and_grad(
 
 
 def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
-    from gpx.ops.chol import back_solve
+    from gpx.ops.chol import back_solve, spd_inverse_from_chol, tri_inverse_lower
 
     x = as_locations(x)
     n = x.shape[0]
@@ -145,8 +145,18 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
     mean_val, mean_vjp = jax.vjp(lambda m: m(x), params.mean)
     l = cholesky(k_val)
     r = y - mean_val
-    u = forward_solve(l, r)
-    alpha = back_solve(l.T, u)
+
+    fused = jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096
+    if fused:
+        # the gradient needs L^{-1} anyway, so replace both triangular
+        # solves with dense matvecs against it: XLA's trsv is latency-bound
+        # at large N (~33 ms each at N=16k vs ~1.5 ms for the matvec)
+        l_inv = tri_inverse_lower(l)
+        u = l_inv @ r
+        alpha = l_inv.T @ u
+    else:
+        u = forward_solve(l, r)
+        alpha = back_solve(l.T, u)
 
     value = (
         -0.5 * u @ u
@@ -154,14 +164,11 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
         - 0.5 * n * jnp.log(2.0 * jnp.pi)
     )
 
-    from gpx.ops.chol import spd_inverse_from_chol, tri_inverse_lower
-
-    if jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096:
+    if fused:
         # fully fused path: K^{-1}/W never materialize; lower-triangle-only
         # accumulation costs N^3/6 MACs (gpx.ops.pallas_logml_grad)
         from gpx.ops.pallas_logml_grad import logml_kernel_grads
 
-        l_inv = tri_inverse_lower(l)
         d_kernel = logml_kernel_grads(params.kernel, x, alpha, l_inv)
         d_kernel = jax.tree_util.tree_map(
             lambda leaf, g: g.astype(jnp.result_type(leaf)),

@@ -8,6 +8,12 @@ The reference's only parallelism is 2 MCMC chains on JVM threads
   with XLA GSPMD inserting the ICI collectives.
 """
 
+from gpx.parallel.dist_chol import (
+    distributed_cholesky,
+    distributed_forward_solve,
+    distributed_half_logdet,
+    distributed_logml,
+)
 from gpx.parallel.mesh import make_mesh
 from gpx.parallel.sharded import (
     sharded_gram,
@@ -17,6 +23,10 @@ from gpx.parallel.sharded import (
 )
 
 __all__ = [
+    "distributed_cholesky",
+    "distributed_forward_solve",
+    "distributed_half_logdet",
+    "distributed_logml",
     "make_mesh",
     "sharded_gram",
     "sharded_logml",
