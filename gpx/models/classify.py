@@ -97,7 +97,7 @@ def fit(
     n_classes: int,
     *,
     jitter: float = 1e-6,
-    tol: float = 1e-6,
+    tol: float = 1e-4,
     max_iters: int = 50,
 ):
     """Find the softmax-Laplace posterior mode — Classify.fit
