@@ -8,7 +8,20 @@ capability map this implements.
 """
 
 from gpx import bijectors, distributions, kernels, means, params
-from gpx.kernels import Matern, Product, SquaredExponential, Sum, White, matern, se, white
+from gpx.kernels import (
+    Matern,
+    Periodic,
+    Product,
+    RationalQuadratic,
+    SquaredExponential,
+    Sum,
+    White,
+    matern,
+    periodic,
+    rational_quadratic,
+    se,
+    white,
+)
 from gpx.means import Plane, Zero, plane, zero
 from gpx.params import Parameters
 
@@ -19,11 +32,15 @@ __all__ = [
     "means",
     "params",
     "Matern",
+    "Periodic",
     "Product",
+    "RationalQuadratic",
     "SquaredExponential",
     "Sum",
     "White",
     "matern",
+    "periodic",
+    "rational_quadratic",
     "se",
     "white",
     "Plane",

@@ -165,6 +165,41 @@ class White(Kernel):
 
 
 @pytree_dataclass
+class RationalQuadratic(Kernel):
+    """``k(d) = h * (1 + d^2 / (2 alpha l^2))^(-alpha)`` — a scale mixture of
+    SE kernels. Beyond the reference's kernel set (its TODO at
+    KernelFunction.scala:40-41 asks for more combinators/kernels)."""
+
+    h: jnp.ndarray
+    alpha: jnp.ndarray
+    l: jnp.ndarray
+
+    def evaluate_r2(self, r2):
+        return self.h * (1.0 + r2 / (2.0 * self.alpha * self.l**2)) ** (-self.alpha)
+
+    def bijectors(self):
+        return RationalQuadratic(h=bij.positive, alpha=bij.positive, l=bij.positive)
+
+
+@pytree_dataclass
+class Periodic(Kernel):
+    """MacKay periodic kernel ``k(d) = h * exp(-2 sin^2(pi d / p) / l^2)``.
+    Beyond the reference's kernel set."""
+
+    h: jnp.ndarray
+    period: jnp.ndarray
+    l: jnp.ndarray
+
+    def evaluate_r2(self, r2):
+        d = jnp.sqrt(jnp.maximum(r2, 0.0))
+        s = jnp.sin(jnp.pi * d / self.period)
+        return self.h * jnp.exp(-2.0 * (s * s) / (self.l * self.l))
+
+    def bijectors(self):
+        return Periodic(h=bij.positive, period=bij.positive, l=bij.positive)
+
+
+@pytree_dataclass
 class Sum(Kernel):
     """Sum combinator — reference semantics (KernelFunction.scala:47-55)."""
 
@@ -209,3 +244,13 @@ def matern(sigma, nu, l) -> Matern:
 
 def white(sigma) -> White:
     return White(sigma=jnp.asarray(sigma))
+
+
+def rational_quadratic(h, alpha, l) -> RationalQuadratic:
+    return RationalQuadratic(
+        h=jnp.asarray(h), alpha=jnp.asarray(alpha), l=jnp.asarray(l)
+    )
+
+
+def periodic(h, period, l) -> Periodic:
+    return Periodic(h=jnp.asarray(h), period=jnp.asarray(period), l=jnp.asarray(l))

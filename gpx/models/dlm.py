@@ -236,6 +236,66 @@ def _ig_draw(key, post: InverseGamma, d: int):
     return post.scale / g
 
 
+class ConjugateFilterResult(NamedTuple):
+    m: jnp.ndarray          # (T, d_state) state means
+    c_star: jnp.ndarray     # (T, d_state, d_state) scale-free state covs
+    v_shape: jnp.ndarray    # (T,) InverseGamma shape for the obs variance
+    v_scale: jnp.ndarray    # (T,) InverseGamma scale
+    forecast_mean: jnp.ndarray   # (T, d_obs) one-step-ahead means
+    forecast_scale: jnp.ndarray  # (T, d_obs) Student-t scales
+    forecast_df: jnp.ndarray     # (T,) Student-t degrees of freedom
+
+
+def conjugate_filter(model: DLM, ys, w_star, m0, c0, prior_v: InverseGamma):
+    """Kalman filter with the observation variance integrated out.
+
+    The reference forecasts a held-out sensor with bayesian_dlms'
+    conjugate filter (TemperatureDlm.scala:361-402): ``V = v I`` with
+    ``v ~ InverseGamma(a, b)`` updated conjugately each step, so one-step
+    forecasts are Student-t with ``2a`` degrees of freedom. ``w_star`` is the
+    system covariance *relative to v* (the standard scale-free form).
+    """
+    f, g = model.f, model.g
+    d_obs, d_state = f.shape
+    w_mat = jnp.diag(w_star) if w_star.ndim == 1 else w_star
+
+    def step(carry, y):
+        m_prev, c_prev, a_v, b_v = carry
+        a = g @ m_prev
+        r = _sym(g @ c_prev @ g.T + w_mat)
+
+        mask = jnp.isfinite(y)
+        f_eff = jnp.where(mask[:, None], f, 0.0)
+        fhat = f_eff @ a
+        q = f_eff @ r @ f_eff.T + jnp.eye(d_obs, dtype=r.dtype)
+        q = q + jnp.diag(jnp.where(mask, 0.0, 1.0))
+        e = jnp.where(mask, jnp.where(mask, y, 0.0) - fhat, 0.0)
+
+        q_chol = jnp.linalg.cholesky(_sym(q))
+        u = jax.scipy.linalg.solve_triangular(q_chol, e, lower=True)
+        sol = jax.scipy.linalg.cho_solve((q_chol, True), f_eff @ r)
+        k_gain = sol.swapaxes(-1, -2)
+        m = a + k_gain @ e
+        c = _sym(r - k_gain @ (f_eff @ r))
+
+        n_obs = jnp.sum(mask)
+        a_new = a_v + 0.5 * n_obs
+        b_new = b_v + 0.5 * (u @ u)
+
+        # Student-t one-step forecast: location fhat, scale from the
+        # *pre-update* variance estimate b_v/a_v, df = 2 a_v
+        v_hat = b_v / a_v
+        scale = jnp.sqrt(v_hat * jnp.diagonal(q))
+        return (m, c, a_new, b_new), (m, c, fhat, scale, 2.0 * a_v, a_new, b_new)
+
+    init = (m0, c0, prior_v.concentration, prior_v.scale)
+    _, (ms, cs, fmeans, fscales, dfs, a_t, b_t) = lax.scan(step, init, ys)
+    return ConjugateFilterResult(
+        m=ms, c_star=cs, v_shape=a_t, v_scale=b_t,
+        forecast_mean=fmeans, forecast_scale=fscales, forecast_df=dfs,
+    )
+
+
 class GibbsResult(NamedTuple):
     v: jnp.ndarray   # (iters, d_obs)
     w: jnp.ndarray   # (iters, d_state)

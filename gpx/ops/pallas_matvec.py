@@ -1,0 +1,141 @@
+"""Matrix-free Gram matvec: ``K(x, x) @ V`` without materializing K.
+
+The dense paths cap at N~16k on one chip because K is O(N^2) HBM (1 GB at
+16k, 17 GB at 65k). This kernel streams (bt, bt) Gram tiles through VMEM —
+recomputing squared distances and the kernel algebra per tile, multiplying
+into the RHS block on the MXU, and accumulating per row block — so memory is
+O(N (D + R)) and the iterative path (CG solves + stochastic Lanczos
+quadrature, gpx.models.gp_iterative) scales to N >= 100k. This is the
+"blocked/streamed Gram tiles so K never fully materializes" design of
+SURVEY.md §2.4/§5 (long-context analog).
+
+Supports batched right-hand sides (CG probes + Lanczos vectors amortize the
+tile recompute across columns).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpx.ops.distance import as_locations
+from gpx.ops.pallas_gram import _tile_sq_dist
+
+_BT = 1024
+
+
+def _matvec_kernel(*refs, treedef, d, bt, nb, nugget, n_params):
+    x_i, x_j, v_j = refs[0], refs[1], refs[2]
+    param_refs = refs[3 : 3 + n_params]
+    out_ref = refs[3 + n_params]
+    acc = refs[4 + n_params]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    rows = i * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 0)
+    cols = j * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 1)
+    diag = rows == cols
+    r2 = jnp.maximum(_tile_sq_dist(x_i[:], x_j[:], d), 0.0)
+    r2 = jnp.where(diag, 0.0, r2)
+
+    kernel = jax.tree_util.tree_unflatten(
+        treedef, [ref[0, 0] for ref in param_refs]
+    )
+    k_tile = kernel.evaluate_r2(r2)
+    if nugget:
+        k_tile = jnp.where(diag, k_tile + jnp.float32(nugget), k_tile)
+
+    acc[:] += jnp.dot(k_tile, v_j[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == nb - 1)
+    def _write():
+        out_ref[:] = acc[:]
+
+
+def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
+                interpret: bool = False):
+    """``(K(x, x) + nugget I) @ v`` with K streamed tile-by-tile.
+
+    ``v``: (N,) or (N, R). N must be a multiple of ``bt`` for the Pallas
+    path; otherwise (and off-TPU) an XLA row-blocked fallback runs.
+    """
+    x = as_locations(x)
+    n, d = x.shape
+    squeeze = v.ndim == 1
+    v2 = v[:, None] if squeeze else v
+    r = v2.shape[1]
+
+    use_pallas = (
+        jax.default_backend() == "tpu" or interpret
+    ) and n % bt == 0 and r <= 512
+    if not use_pallas:
+        out = _gram_matvec_xla(kernel, x, v2, nugget)
+        return out[:, 0] if squeeze else out
+
+    leaves, treedef = jax.tree_util.tree_flatten(kernel)
+    smem_params = [jnp.asarray(p, jnp.float32).reshape(1, 1) for p in leaves]
+    nb = n // bt
+    body = functools.partial(
+        _matvec_kernel, treedef=treedef, d=d, bt=bt, nb=nb,
+        nugget=float(nugget), n_params=len(leaves),
+    )
+    out = pl.pallas_call(
+        body,
+        grid=(nb, nb),
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, r), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+            for _ in smem_params
+        ],
+        out_specs=pl.BlockSpec((bt, r), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, r), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, r), jnp.float32)],
+        interpret=interpret,
+    )(
+        jnp.asarray(x, jnp.float32),
+        jnp.asarray(x, jnp.float32),
+        jnp.asarray(v2, jnp.float32),
+        *smem_params,
+    )
+    out = out.astype(v2.dtype)
+    return out[:, 0] if squeeze else out
+
+
+def _gram_matvec_xla(kernel, x, v2, nugget, block: int = 2048):
+    """Row-blocked fallback: O(block * N) peak memory."""
+    from gpx.ops.distance import sq_distances
+
+    n = x.shape[0]
+    pad = (-n) % block
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    rows = xp.reshape(-1, block, x.shape[1])
+
+    def row_block(i, xb):
+        r2 = sq_distances(xb, x)
+        # restore exact-zero diagonal for White within this row block
+        g_rows = i * block + jnp.arange(block)
+        cols = jnp.arange(n)
+        diag = g_rows[:, None] == cols[None, :]
+        r2 = jnp.where(diag, 0.0, r2)
+        kb = kernel.evaluate_r2(r2)
+        if nugget:
+            kb = jnp.where(diag, kb + nugget, kb)
+        return kb @ v2
+
+    out = jax.lax.map(
+        lambda args: row_block(*args), (jnp.arange(rows.shape[0]), rows)
+    )
+    return out.reshape(-1, v2.shape[1])[:n]

@@ -107,6 +107,31 @@ def test_forecast_variance_grows(rng):
     assert (np.diff(np.asarray(covs)[:, 0, 0]) > 0).all()
 
 
+def test_conjugate_filter_recovers_variance(rng):
+    from gpx.distributions import InverseGamma
+
+    model, v, w = _local_level(v=0.5, w=0.05)
+    _, ys = _simulate_local_level(rng, t=400, v=0.5, w=0.05)
+    prior = InverseGamma(concentration=jnp.asarray(2.0), scale=jnp.asarray(1.0))
+    # scale-free W: W* = W / v
+    result = dlm.conjugate_filter(
+        model, jnp.asarray(ys), jnp.array([0.05 / 0.5]),
+        jnp.zeros(1), jnp.eye(1) * 10.0, prior,
+    )
+    v_hat = float(result.v_scale[-1] / result.v_shape[-1])
+    assert 0.3 < v_hat < 0.8, v_hat
+    # df grows by n_obs/2 per step -> 2*a_T = 2*a_0 + T
+    np.testing.assert_allclose(float(result.forecast_df[-1]), 2 * 2.0 + 399)
+    # state tracking matches the fixed-variance Kalman filter closely
+    filtered = dlm.kalman_filter(
+        model, jnp.asarray(ys), v, w, jnp.zeros(1), jnp.eye(1) * 10.0
+    )
+    late = slice(100, None)
+    np.testing.assert_allclose(
+        np.asarray(result.m)[late, 0], np.asarray(filtered.m)[late, 0], atol=0.1
+    )
+
+
 def test_grid_locations():
     grid = dlmgp.grid_locations((0.0, 1.0), (0.0, 2.0), 3, 5)
     assert grid.shape == (15, 2)

@@ -1,0 +1,99 @@
+"""Matrix-free GP path: streamed matvec vs dense, CG solves, SLQ logdet,
+iterative logML value/grad vs the dense analytic path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpx import Parameters, se, white, zero
+from gpx.models import gp
+from gpx.models.gp_iterative import (
+    cg_solve,
+    lanczos,
+    logml_value_and_grad_iterative,
+    slq_logdet,
+)
+from gpx.ops.gram import gram
+from gpx.ops.pallas_matvec import gram_matvec
+
+from .util import random_locations, symmetric_pos_def
+
+
+def _toy(rng, n=200):
+    x = jnp.asarray(random_locations(rng, n, 1, scale=8.0))
+    kern = se(3.0, 5.5) + white(0.5)
+    p = Parameters(mean=zero(), kernel=kern)
+    y = jnp.asarray(rng.normal(size=n))
+    return p, x, y
+
+
+def test_gram_matvec_matches_dense(rng):
+    p, x, _ = _toy(rng, n=300)
+    k = np.asarray(gram(p.kernel, x, nugget=1e-3, method="xla"))
+    v = rng.normal(size=(300, 3))
+    got = np.asarray(gram_matvec(p.kernel, x, jnp.asarray(v), nugget=1e-3))
+    np.testing.assert_allclose(got, k @ v, rtol=1e-8)
+    # single-vector form
+    got1 = np.asarray(gram_matvec(p.kernel, x, jnp.asarray(v[:, 0]), nugget=1e-3))
+    np.testing.assert_allclose(got1, k @ v[:, 0], rtol=1e-8)
+
+
+def test_gram_matvec_pallas_interpret(rng):
+    p, x, _ = _toy(rng, n=256)
+    x32 = jnp.asarray(np.asarray(x), jnp.float32)
+    k = np.asarray(gram(p.kernel, x32, nugget=1e-3, method="xla"))
+    v = rng.normal(size=(256, 2)).astype(np.float32)
+    got = np.asarray(
+        gram_matvec(p.kernel, x32, jnp.asarray(v), nugget=1e-3, bt=128,
+                    interpret=True)
+    )
+    np.testing.assert_allclose(got, k @ v, rtol=3e-4, atol=3e-4)
+
+
+def test_cg_solves_spd_system(rng):
+    m = jnp.asarray(symmetric_pos_def(rng, 80, 100.0))
+    b = jnp.asarray(rng.normal(size=(80, 2)))
+    x, iters = cg_solve(lambda v: m @ v, b, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(m @ x), np.asarray(b), atol=1e-6)
+    assert int(iters) <= 80 + 5
+
+
+def test_lanczos_tridiagonal_spectrum(rng):
+    # Lanczos on a small SPD matrix reproduces extreme Ritz values
+    m = jnp.asarray(symmetric_pos_def(rng, 60, 50.0))
+    z = jnp.asarray(rng.normal(size=60))
+    alphas, betas = lanczos(lambda v: m @ v, z, 60)
+    t = np.diag(np.asarray(alphas)) + np.diag(np.asarray(betas), 1) + np.diag(
+        np.asarray(betas), -1
+    )
+    ritz = np.linalg.eigvalsh(t)
+    eigs = np.linalg.eigvalsh(np.asarray(m))
+    np.testing.assert_allclose(ritz.max(), eigs.max(), rtol=1e-6)
+
+
+def test_slq_logdet_accuracy(rng):
+    p, x, _ = _toy(rng, n=300)
+    k = gram(p.kernel, x, nugget=1e-3, method="xla")
+    exact = float(jnp.linalg.slogdet(k)[1])
+    est = float(
+        slq_logdet(lambda v: k @ v, 300, jax.random.PRNGKey(0),
+                   n_probes=30, m=40, dtype=k.dtype)
+    )
+    assert abs(est - exact) / abs(exact) < 0.05, (est, exact)
+
+
+def test_iterative_logml_matches_dense(rng):
+    p, x, y = _toy(rng, n=250)
+    result = logml_value_and_grad_iterative(
+        p, x, y, jax.random.PRNGKey(1), n_probes=24, lanczos_iters=40,
+        cg_tol=1e-8,
+    )
+    dense_val, dense_grads = gp.logml_value_and_grad(p, x, y, method="autodiff")
+    # value: quadratic term exact, logdet stochastic (few % of logdet)
+    np.testing.assert_allclose(float(result.value), float(dense_val),
+                               rtol=0.05, atol=5.0)
+    # gradients: quad part exact, trace part Hutchinson (looser)
+    got = np.asarray([float(v) for v in jax.tree_util.tree_leaves(result.grads.kernel)])
+    want = np.asarray([float(v) for v in jax.tree_util.tree_leaves(dense_grads.kernel)])
+    np.testing.assert_allclose(got, want, rtol=0.3, atol=0.5)

@@ -77,6 +77,28 @@ def test_sum_and_product_combinators(rng):
     )
 
 
+def test_rational_quadratic_limits(rng):
+    # RQ -> SE as alpha -> inf; RQ formula check
+    d = rng.uniform(0, 5, size=40)
+    rq = kernels.rational_quadratic(2.0, 1.5, 3.0)
+    expected = 2.0 * (1 + d**2 / (2 * 1.5 * 9.0)) ** (-1.5)
+    np.testing.assert_allclose(np.asarray(rq.evaluate(d)), expected, rtol=1e-10)
+    rq_big = kernels.rational_quadratic(2.0, 1e7, 3.0)
+    se_like = 2.0 * np.exp(-(d**2) / (2 * 9.0))
+    np.testing.assert_allclose(np.asarray(rq_big.evaluate(d)), se_like, rtol=1e-4)
+
+
+def test_periodic_kernel(rng):
+    per = kernels.periodic(1.5, 2.0, 0.8)
+    d = rng.uniform(0, 10, size=50)
+    expected = 1.5 * np.exp(-2 * np.sin(np.pi * d / 2.0) ** 2 / 0.8**2)
+    np.testing.assert_allclose(np.asarray(per.evaluate(d)), expected, rtol=1e-10)
+    # exact periodicity
+    np.testing.assert_allclose(
+        np.asarray(per.evaluate(jnp.array([0.0, 2.0, 4.0]))), 1.5, rtol=1e-6
+    )
+
+
 def test_sq_distances_matches_direct(rng):
     x = random_locations(rng, 40, 2)
     r2 = np.asarray(sq_distances(x))
