@@ -108,3 +108,42 @@ def warmup(
     keys = random.split(k_scan, n_warmup)
     (hstate, da), _ = lax.scan(body, (hmc_state, da), (ms, keys))
     return jnp.exp(da.log_eps_bar), hstate.position
+
+
+def window_warmup(
+    key,
+    position,
+    log_posterior: Callable,
+    *,
+    l0: int = 10,
+    init_window: int = 150,
+    mass_window: int = 300,
+    final_window: int = 150,
+    delta: float = 0.65,
+):
+    """Stan-style windowed warmup: dual-average the step size with unit mass,
+    estimate a diagonal mass matrix from a sampling window (momentum
+    precision = posterior variance), then re-tune the step size under the
+    adapted metric. Beyond the reference, whose HMC takes a fixed mass
+    matrix and then ignores it in the kinetic energy (Hmc.scala:59-68).
+
+    Returns ``(eps, mass, position)``.
+    """
+    k1, k2, k3 = random.split(key, 3)
+    eps0, position = warmup(k1, position, log_posterior, init_window, l0,
+                            delta=delta)
+
+    vag = jax.value_and_grad(log_posterior)
+    state = hmc.init(position, log_posterior)
+
+    def body(s, kk):
+        s2, _ = hmc._step(kk, s, vag, eps0, l0, None)
+        return s2, s2.position
+
+    state, draws = lax.scan(body, state, random.split(k2, mass_window))
+    var = jnp.var(draws, axis=0) + 1e-6
+    mass = 1.0 / var  # momentum ~ N(0, M); M^{-1} ≈ posterior covariance
+
+    eps, position = warmup(k3, state.position, log_posterior, final_window,
+                           l0, delta=delta, mass=mass)
+    return eps, mass, position

@@ -121,6 +121,7 @@ def sample_hmc(
     l: int = 10,
     eps: float | None = None,
     warmup_iters: int = 500,
+    adapt_mass: bool = False,
     n_chains: int = 4,
     burn_in: int = 0,
     thin: int = 1,
@@ -130,7 +131,9 @@ def sample_hmc(
     """HMC with autodiff gradients through the Cholesky — the rebuild of
     ``KernelParameters.sampleHmc`` (KernelParameters.scala:121-154). When
     ``eps`` is None, each chain tunes its own step size by dual averaging
-    (DualAveraging.tuneStepsize, DualAveraging.scala:108-126)."""
+    (DualAveraging.tuneStepsize, DualAveraging.scala:108-126);
+    ``adapt_mass=True`` additionally estimates a per-chain diagonal mass
+    matrix in a Stan-style window."""
     log_density = _gp_log_density(x, y, log_prior, nugget)
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
@@ -138,16 +141,27 @@ def sample_hmc(
     k_init, k_wu, k_run = random.split(key, 3)
     inits = _disperse(k_init, flat0, n_chains, init_jitter)
 
+    mass_c = None
     if eps is None:
         wu_keys = random.split(k_wu, n_chains)
-        eps_c, inits = jax.vmap(
-            lambda kk, q: dual_averaging.warmup(kk, q, logpost, warmup_iters, l)
-        )(wu_keys, inits)
+        if adapt_mass:
+            eps_c, mass_c, inits = jax.vmap(
+                lambda kk, q: dual_averaging.window_warmup(
+                    kk, q, logpost, l0=l,
+                    init_window=warmup_iters // 3,
+                    mass_window=warmup_iters // 3,
+                    final_window=warmup_iters // 3,
+                )
+            )(wu_keys, inits)
+        else:
+            eps_c, inits = jax.vmap(
+                lambda kk, q: dual_averaging.warmup(kk, q, logpost, warmup_iters, l)
+            )(wu_keys, inits)
     else:
         eps_c = jnp.full((n_chains,), eps, dtype=flat0.dtype)
 
-    def run_one(kk, q0, eps_i):
-        step = hmc.kernel(logpost, eps_i, l)
+    def run_one(kk, q0, eps_i, mass_i):
+        step = hmc.kernel(logpost, eps_i, l, mass=mass_i)
         return base.sample(
             step,
             hmc.init(q0, logpost),
@@ -158,10 +172,18 @@ def sample_hmc(
             collect=lambda s: s.position,
         )
 
-    result = jax.vmap(run_one)(random.split(k_run, n_chains), inits, eps_c)
+    if mass_c is None:
+        runner = lambda kk, q0, eps_i: run_one(kk, q0, eps_i, None)
+        result = jax.vmap(runner)(random.split(k_run, n_chains), inits, eps_c)
+        extras = {"eps": eps_c}
+    else:
+        result = jax.vmap(run_one)(
+            random.split(k_run, n_chains), inits, eps_c, mass_c
+        )
+        extras = {"eps": eps_c, "mass": mass_c}
     return _package(
         template, template.bijectors(), unravel, result.samples,
-        result.accept_rate, {"eps": eps_c},
+        result.accept_rate, extras,
     )
 
 

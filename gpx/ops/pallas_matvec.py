@@ -115,7 +115,10 @@ def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
 
 
 def _gram_matvec_xla(kernel, x, v2, nugget, block: int = 2048):
-    """Row-blocked fallback: O(block * N) peak memory."""
+    """Row-blocked fallback: O(block * N) peak memory. Differentiable w.r.t.
+    the kernel hyperparameters: each row block is ``jax.checkpoint``-ed so
+    the VJP *recomputes* its Gram tile instead of storing it — without the
+    remat, ``lax.map``'s saved residuals are O(N^2) and OOM at N=65k."""
     from gpx.ops.distance import sq_distances
 
     n = x.shape[0]
@@ -123,7 +126,8 @@ def _gram_matvec_xla(kernel, x, v2, nugget, block: int = 2048):
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     rows = xp.reshape(-1, block, x.shape[1])
 
-    def row_block(i, xb):
+    @jax.checkpoint
+    def row_block(kernel, i, xb):
         r2 = sq_distances(xb, x)
         # restore exact-zero diagonal for White within this row block
         g_rows = i * block + jnp.arange(block)
@@ -136,6 +140,6 @@ def _gram_matvec_xla(kernel, x, v2, nugget, block: int = 2048):
         return kb @ v2
 
     out = jax.lax.map(
-        lambda args: row_block(*args), (jnp.arange(rows.shape[0]), rows)
+        lambda args: row_block(kernel, *args), (jnp.arange(rows.shape[0]), rows)
     )
     return out.reshape(-1, v2.shape[1])[:n]

@@ -84,6 +84,29 @@ def test_dual_averaging_finds_reasonable_eps():
     assert 0.4 < float(result.accept_rate) <= 1.0
 
 
+def test_window_warmup_adapts_mass():
+    # badly scaled target: adaptation should discover the scales
+    scales = jnp.array([0.1, 10.0])
+
+    def logpost(q):
+        return -0.5 * jnp.sum((q / scales) ** 2)
+
+    eps, mass, pos = dual_averaging.window_warmup(
+        jax.random.PRNGKey(11), jnp.zeros(2), logpost,
+        l0=10, init_window=150, mass_window=400, final_window=150,
+    )
+    # mass ≈ 1/var: ratio across dims should reflect the 10^4 variance ratio
+    ratio = float(mass[0] / mass[1])
+    assert ratio > 100.0, (ratio, np.asarray(mass))
+    # sampling with the adapted metric recovers both variances
+    step = hmc.kernel(logpost, eps=eps, l=10, mass=mass)
+    result = base.sample(step, hmc.init(pos, logpost), jax.random.PRNGKey(12),
+                         4000, collect=lambda s: s.position)
+    draws = np.asarray(result.samples)
+    np.testing.assert_allclose(draws.var(0), np.asarray(scales) ** 2, rtol=0.3)
+    assert float(result.accept_rate) > 0.5
+
+
 def test_ehmc_on_gaussian():
     logpost = _std_normal_logpost()
     result, extras = ehmc.sample(
