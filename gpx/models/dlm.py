@@ -85,6 +85,26 @@ def _sym(m):
     return 0.5 * (m + m.swapaxes(-1, -2))
 
 
+def _chol_psd(m):
+    """Cholesky of a nearly-PSD matrix with an escalating scale-relative
+    jitter ladder. DLM covariances collapse toward singular as Gibbs sweeps
+    shrink V/W, and in f32 the rounding of the (PSD-by-construction) Joseph
+    sandwiches can still leave tiny negative eigenvalues — each rung costs
+    one extra d_state-sized factorization, negligible at DLM dimensions."""
+    m = _sym(m)
+    d = m.shape[-1]
+    eps0 = 1e-6 if m.dtype == jnp.float32 else 1e-12
+    scale = jnp.trace(m) / d + jnp.asarray(1e-30, m.dtype)
+    eye = jnp.eye(d, dtype=m.dtype)
+
+    l = jnp.linalg.cholesky(m + (eps0 * scale) * eye)
+    for mult in (1e3, 1e6):
+        ok = jnp.all(jnp.isfinite(jnp.diagonal(l, axis1=-2, axis2=-1)))
+        retry = jnp.linalg.cholesky(m + (eps0 * mult * scale) * eye)
+        l = jnp.where(ok, l, retry)
+    return l
+
+
 def kalman_filter(model: DLM, ys, v, w, m0, c0) -> FilterResult:
     """Forward Kalman filter as one scan. ``ys: (T, d_obs)`` with NaNs for
     missing entries; ``v``: (d_obs, d_obs) or (d_obs,) diagonal; ``w``:
@@ -109,11 +129,14 @@ def kalman_filter(model: DLM, ys, v, w, m0, c0) -> FilterResult:
         q = q + jnp.diag(jnp.where(mask, 0.0, 1.0))
         e = jnp.where(mask, y0 - fhat, 0.0)
 
-        q_chol = jnp.linalg.cholesky(_sym(q))
+        q_chol = _chol_psd(q)
         sol = jax.scipy.linalg.cho_solve((q_chol, True), f_eff @ r)  # Q^{-1} F R
         k_gain = sol.swapaxes(-1, -2)                               # R F^T Q^{-1}
         m = a + k_gain @ e
-        c = _sym(r - k_gain @ (f_eff @ r))
+        # Joseph-form update: PSD by construction, where R - K F R cancels
+        # catastrophically in f32 (many observations per step collapse C)
+        ikf = jnp.eye(d_state, dtype=r.dtype) - k_gain @ f_eff
+        c = _sym(ikf @ r @ ikf.T + k_gain @ v_mat @ k_gain.T)
 
         u = jax.scipy.linalg.solve_triangular(q_chol, e, lower=True)
         n_obs = jnp.sum(mask)
@@ -126,18 +149,27 @@ def kalman_filter(model: DLM, ys, v, w, m0, c0) -> FilterResult:
     return FilterResult(m=ms, c=cs, a=as_, r=rs, log_likelihood=ll)
 
 
-def ffbs(key, model: DLM, filtered: FilterResult):
+def ffbs(key, model: DLM, filtered: FilterResult, w=None):
     """Forward-filter backward-sample state draw (the SvdSampler.ffbsDlm
     capability, FitDlmGp.scala:121-125) as a reverse scan.
+
+    When the system covariance ``w`` is given, the backward covariance uses
+    the Joseph form ``(I - BG) C (I - BG)^T + B W B^T`` — PSD by
+    construction, where the textbook ``C - B R B^T`` cancels catastrophically
+    in f32 once W has shrunk over Gibbs sweeps (observed NaNs on TPU in the
+    seasonal example).
 
     Returns sampled states ``(T, d_state)``.
     """
     g = model.g
     ms, cs, as_, rs = filtered.m, filtered.c, filtered.a, filtered.r
     t_len, d_state = ms.shape
+    w_mat = None
+    if w is not None:
+        w_mat = jnp.diag(w) if w.ndim == 1 else w
 
-    def draw(k, mean, cov, jitter=1e-9):
-        chol = jnp.linalg.cholesky(_sym(cov) + jitter * jnp.eye(d_state))
+    def draw(k, mean, cov):
+        chol = _chol_psd(cov)
         return mean + chol @ random.normal(k, (d_state,), dtype=mean.dtype)
 
     keys = random.split(key, t_len)
@@ -146,11 +178,15 @@ def ffbs(key, model: DLM, filtered: FilterResult):
     def back_step(x_next, inp):
         k, m, c, a_next, r_next = inp
         # B = C G^T R_{next}^{-1}
-        r_chol = jnp.linalg.cholesky(_sym(r_next) + 1e-9 * jnp.eye(d_state))
+        r_chol = _chol_psd(r_next)
         sol = jax.scipy.linalg.cho_solve((r_chol, True), g @ c)  # R^{-1} G C
         b = sol.swapaxes(-1, -2)
         mean = m + b @ (x_next - a_next)
-        cov = c - b @ r_next @ b.T
+        if w_mat is None:
+            cov = c - b @ r_next @ b.T
+        else:
+            ibg = jnp.eye(d_state, dtype=c.dtype) - b @ g
+            cov = ibg @ c @ ibg.T + b @ w_mat @ b.T
         x = draw(k, mean, cov)
         return x, x
 
@@ -169,7 +205,7 @@ def smooth(model: DLM, filtered: FilterResult):
     def back_step(carry, inp):
         s_next, ss_next = carry
         m, c, a_next, r_next = inp
-        r_chol = jnp.linalg.cholesky(_sym(r_next) + 1e-9 * jnp.eye(d_state))
+        r_chol = _chol_psd(r_next)
         sol = jax.scipy.linalg.cho_solve((r_chol, True), g @ c)
         b = sol.swapaxes(-1, -2)
         s = m + b @ (s_next - a_next)
@@ -271,12 +307,18 @@ def conjugate_filter(model: DLM, ys, w_star, m0, c0, prior_v: InverseGamma):
         q = q + jnp.diag(jnp.where(mask, 0.0, 1.0))
         e = jnp.where(mask, jnp.where(mask, y, 0.0) - fhat, 0.0)
 
-        q_chol = jnp.linalg.cholesky(_sym(q))
+        q_chol = _chol_psd(q)
         u = jax.scipy.linalg.solve_triangular(q_chol, e, lower=True)
         sol = jax.scipy.linalg.cho_solve((q_chol, True), f_eff @ r)
         k_gain = sol.swapaxes(-1, -2)
         m = a + k_gain @ e
-        c = _sym(r - k_gain @ (f_eff @ r))
+        # Joseph-form update (PSD in f32; scale-free obs variance is
+        # I + the missing-entry pseudo-variance)
+        v_star = jnp.eye(d_obs, dtype=r.dtype) + jnp.diag(
+            jnp.where(mask, 0.0, 1.0)
+        )
+        ikf = jnp.eye(d_state, dtype=r.dtype) - k_gain @ f_eff
+        c = _sym(ikf @ r @ ikf.T + k_gain @ v_star @ k_gain.T)
 
         n_obs = jnp.sum(mask)
         a_new = a_v + 0.5 * n_obs
@@ -325,7 +367,7 @@ def gibbs_sample(
         v, w = carry
         k1, k2, k3 = random.split(k, 3)
         filtered = kalman_filter(model, ys, v, w, m0, c0)
-        xs = ffbs(k1, model, filtered)
+        xs = ffbs(k1, model, filtered, w)
         v_new = sample_observation_variance(k2, prior_v, model, ys, xs)
         w_new = sample_system_variance(k3, prior_w, model, xs)
         return (v_new, w_new), (v_new, w_new, xs)

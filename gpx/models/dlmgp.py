@@ -144,7 +144,7 @@ def gibbs_sample(
         kxx = kern.gram(x_locations, nugget=nugget)
 
         filtered = dlm_mod.kalman_filter(model, ys, kxx, w, m0, c0)
-        xs = dlm_mod.ffbs(k1, model, filtered)
+        xs = dlm_mod.ffbs(k1, model, filtered, w)
         resids = ys - xs @ model.f.T
 
         prop = u_flat + proposal_scale * random.normal(k2, u_flat.shape, u_flat.dtype)

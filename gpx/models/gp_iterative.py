@@ -59,8 +59,11 @@ def cg_solve(matvec, b, *, tol: float = 1e-6, max_iters: int = 1000, x0=None):
         p = r + beta[None, :] * p
         return x, r, p, rs_new, it + 1
 
-    x, _, _, _, iters = lax.while_loop(cond, body, (x, r, p, rs, jnp.asarray(0)))
-    return (x[:, 0] if squeeze else x), iters
+    x, _, _, rs, iters = lax.while_loop(
+        cond, body, (x, r, p, rs, jnp.asarray(0))
+    )
+    converged = jnp.max(rs) <= tol * tol
+    return (x[:, 0] if squeeze else x), iters, converged
 
 
 def lanczos(matvec, z, m: int):
@@ -107,6 +110,8 @@ class IterativeLogML(NamedTuple):
     value: jnp.ndarray
     grads: Parameters
     cg_iters: jnp.ndarray
+    cg_converged: jnp.ndarray  # False => raise cg_max_iters or recondition
+                               # (larger noise/nugget, shorter lengthscale)
 
 
 def logml_value_and_grad_iterative(
@@ -142,7 +147,7 @@ def logml_value_and_grad_iterative(
     # quadratic term: alpha = K^{-1} r, plus probe solves K^{-1} z (batched)
     probes = random.rademacher(k_probe, (n, n_probes), dtype=r.dtype)
     rhs = jnp.concatenate([r[:, None], probes], axis=1)
-    solves, cg_iters = cg_solve(
+    solves, cg_iters, cg_converged = cg_solve(
         matvec, rhs, tol=cg_tol, max_iters=cg_max_iters
     )
     alpha = solves[:, 0]
@@ -184,4 +189,5 @@ def logml_value_and_grad_iterative(
         value=value,
         grads=Parameters(mean=d_mean, kernel=d_kernel),
         cg_iters=cg_iters,
+        cg_converged=cg_converged,
     )

@@ -10,6 +10,7 @@ work, fully fusable by XLA.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -33,6 +34,13 @@ def sq_distances(x1, x2=None):
     x1 = as_locations(x1)
     symmetric = x2 is None
     x2 = x1 if symmetric else as_locations(x2)
+    # distances are translation-invariant: centering costs nothing
+    # mathematically but keeps f32 coordinate rounding from perturbing r2
+    # (at |x| ~ 1e6 the raw-coordinate error makes Gram matrices
+    # numerically indefinite — observed as CG divergence)
+    center = jax.lax.stop_gradient(jnp.mean(x1, axis=0, keepdims=True))
+    x1 = x1 - center
+    x2 = x1 if symmetric else x2 - center
     if x1.shape[-1] <= 8:
         # Low-dimensional spatial inputs (the reference's One/Two locations):
         # the broadcast-subtract form is exact at coincident points (the

@@ -49,6 +49,7 @@ def _tile_sq_dist(x1b, x2b, d: int):
         x2b,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return n1[:, None] + n2[None, :] - 2.0 * dot
 
@@ -100,6 +101,11 @@ def pallas_gram(
     x = as_locations(x)
     symmetric = x2 is None
     x2a = x if symmetric else as_locations(x2)
+    # translation-invariant centering for f32 distance accuracy
+    # (see gpx.ops.distance.sq_distances)
+    center = jax.lax.stop_gradient(jnp.mean(x, axis=0, keepdims=True))
+    x = x - center
+    x2a = x if symmetric else x2a - center
     return _pg(kernel, x, x2a, symmetric, float(nugget), bool(interpret))
 
 

@@ -54,7 +54,15 @@ def _matvec_kernel(*refs, treedef, d, bt, nb, nugget, n_params):
     if nugget:
         k_tile = jnp.where(diag, k_tile + jnp.float32(nugget), k_tile)
 
-    acc[:] += jnp.dot(k_tile, v_j[:], preferred_element_type=jnp.float32)
+    # HIGHEST precision: the MXU's default single-pass bf16 multiply loses
+    # ~3 decimal digits, which breaks CG (the operator must act like a
+    # symmetric f32 matrix); measured error 0.6 vs 2e-4 at N=8192
+    acc[:] += jnp.dot(
+        k_tile,
+        v_j[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     @pl.when(j == nb - 1)
     def _write():
@@ -69,6 +77,9 @@ def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
     path; otherwise (and off-TPU) an XLA row-blocked fallback runs.
     """
     x = as_locations(x)
+    # translation-invariant centering for f32 distance accuracy
+    # (see gpx.ops.distance.sq_distances)
+    x = x - jax.lax.stop_gradient(jnp.mean(x, axis=0, keepdims=True))
     n, d = x.shape
     squeeze = v.ndim == 1
     v2 = v[:, None] if squeeze else v

@@ -109,6 +109,50 @@ def test_predict_with_mean_function(rng):
     assert np.abs(np.asarray(summary.mean) - m_s).mean() < 1.0
 
 
+def test_matern_logml_grad(rng):
+    # Matérn is excluded from inference in the reference (constrain throws,
+    # KernelParameters.scala:254,263); here it is a first-class citizen
+    from gpx import matern
+
+    x = random_locations(rng, 20, 1, scale=5.0)
+    p = Parameters(mean=zero(), kernel=matern(2.0, 2.5, 3.0) + white(0.3))
+    y = rng.normal(size=20)
+    val, grads = gp.logml_value_and_grad(p, x, y)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # and the unconstrain/constrain transforms work for Matérn
+    from gpx import params as gparams
+
+    bij = p.bijectors()
+    u = gparams.unconstrain(bij, p)
+    p2 = gparams.constrain(bij, u)
+    np.testing.assert_allclose(
+        float(p2.kernel.kernels[0].l), 3.0, rtol=1e-10
+    )
+
+
+def test_product_kernel_logml_grad_vs_fd(rng):
+    from gpx import matern
+    from gpx import params as gparams
+
+    x = random_locations(rng, 12, 1, scale=4.0)
+    p = Parameters(mean=zero(), kernel=se(2.0, 3.0) * matern(1.5, 1.5, 2.0) + white(0.2))
+    y = rng.normal(size=12)
+    flat0, unravel = gparams.unraveler(p)
+
+    def f(flat):
+        return gp.log_marginal_likelihood(unravel(flat), x, y)
+
+    grad = np.asarray(jax.grad(f)(flat0))
+    eps = 1e-6
+    for i in range(flat0.size):
+        e = np.zeros(flat0.size)
+        e[i] = eps
+        fd = (float(f(flat0 + e)) - float(f(flat0 - e))) / (2 * eps)
+        np.testing.assert_allclose(grad[i], fd, rtol=1e-4, atol=1e-7)
+
+
 def test_intervals_are_ordered(rng):
     p, x, y = _toy(rng)
     xs = random_locations(rng, 9, 1, scale=5.0)

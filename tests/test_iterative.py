@@ -54,9 +54,10 @@ def test_gram_matvec_pallas_interpret(rng):
 def test_cg_solves_spd_system(rng):
     m = jnp.asarray(symmetric_pos_def(rng, 80, 100.0))
     b = jnp.asarray(rng.normal(size=(80, 2)))
-    x, iters = cg_solve(lambda v: m @ v, b, tol=1e-10)
+    x, iters, converged = cg_solve(lambda v: m @ v, b, tol=1e-10)
     np.testing.assert_allclose(np.asarray(m @ x), np.asarray(b), atol=1e-6)
     assert int(iters) <= 80 + 5
+    assert bool(converged)
 
 
 def test_lanczos_tridiagonal_spectrum(rng):
