@@ -232,6 +232,29 @@ class Product(Kernel):
         return Product(tuple(k.bijectors() for k in self.kernels))
 
 
+def split_noise(kernel):
+    """Split a kernel into ``(smooth_part, noise_variance)`` where the noise
+    is the sum of top-level White terms — the additive diagonal that
+    iterative solvers should treat as the noise floor (preconditioning,
+    spectral bounds). Returns ``(None, sigma)`` for a pure-White kernel;
+    White inside a Product cannot be split and stays in the smooth part."""
+    if isinstance(kernel, White):
+        return None, kernel.sigma
+    if isinstance(kernel, Sum):
+        smooth = []
+        noise = jnp.asarray(0.0)
+        for k in kernel.kernels:
+            s, nz = split_noise(k)
+            noise = noise + nz
+            if s is not None:
+                smooth.append(s)
+        if not smooth:
+            return None, noise
+        out = smooth[0] if len(smooth) == 1 else Sum(tuple(smooth))
+        return out, noise
+    return kernel, jnp.asarray(0.0)
+
+
 # -- reference smart constructors (KernelParameters.scala:69-83) -------------
 
 def se(h, sigma) -> SquaredExponential:

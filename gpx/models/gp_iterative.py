@@ -34,36 +34,120 @@ from gpx.ops.pallas_matvec import gram_matvec
 from gpx.params import Parameters
 
 
-def cg_solve(matvec, b, *, tol: float = 1e-6, max_iters: int = 1000, x0=None):
-    """Conjugate gradients for SPD systems; supports (N,) or (N, R) RHS."""
+def cg_solve(matvec, b, *, tol: float = 1e-6, max_iters: int = 1000, x0=None,
+             precond=None):
+    """(Preconditioned) conjugate gradients for SPD systems; supports (N,)
+    or (N, R) RHS. ``precond``: callable applying an approximate inverse
+    (see :func:`pivoted_cholesky_preconditioner`)."""
     squeeze = b.ndim == 1
     b2 = b[:, None] if squeeze else b
     x = jnp.zeros_like(b2) if x0 is None else (x0[:, None] if squeeze else x0)
+    m_inv = (lambda v: v) if precond is None else precond
 
     r = b2 - matvec(x)
-    p = r
+    z = m_inv(r)
+    p = z
+    rz = jnp.sum(r * z, axis=0)
     rs = jnp.sum(r * r, axis=0)
 
     def cond(state):
-        _, r, _, rs, it = state
+        _, r, _, _, rs, it = state
         return (jnp.max(rs) > tol * tol) & (it < max_iters)
 
+    tiny = jnp.asarray(1e-30, b2.dtype)
+
     def body(state):
-        x, r, p, rs, it = state
+        x, r, p, rz, rs, it = state
+        # freeze converged columns: letting them iterate underflows their
+        # residual norms to exactly 0 and beta = 0/0 poisons the batch
+        active = rs > tol * tol
         ap = matvec(p)
-        alpha = rs / jnp.sum(p * ap, axis=0)
+        denom = jnp.sum(p * ap, axis=0)
+        # non-positive curvature = f32 breakdown for that column: freeze it
+        # (finite, unconverged) instead of producing NaNs
+        ok = active & (denom > 0.0) & jnp.isfinite(denom)
+        alpha = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 0.0)
         x = x + alpha[None, :] * p
         r = r - alpha[None, :] * ap
-        rs_new = jnp.sum(r * r, axis=0)
-        beta = rs_new / rs
-        p = r + beta[None, :] * p
-        return x, r, p, rs_new, it + 1
+        z = m_inv(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(active, rz_new / jnp.maximum(rz, tiny), 0.0)
+        p = z + beta[None, :] * p
+        return x, r, p, rz_new, jnp.sum(r * r, axis=0), it + 1
 
-    x, _, _, rs, iters = lax.while_loop(
-        cond, body, (x, r, p, rs, jnp.asarray(0))
+    x, _, _, _, rs, iters = lax.while_loop(
+        cond, body, (x, r, p, rz, rs, jnp.asarray(0))
     )
     converged = jnp.max(rs) <= tol * tol
     return (x[:, 0] if squeeze else x), iters, converged
+
+
+def pivoted_cholesky(kernel, x, rank: int, *, method: str = "auto"):
+    """Rank-``rank`` pivoted (greedy) Cholesky of the *noise-free* Gram:
+    ``K ≈ L_r L_r^T`` built from ``rank`` adaptively chosen kernel columns —
+    O(N rank^2) time, O(N rank) memory, K never materializes (the GPyTorch
+    preconditioner construction, PAPERS.md)."""
+    from gpx.ops.distance import sq_distances
+
+    x = as_locations(x)
+    n = x.shape[0]
+    leaves = jax.tree_util.tree_leaves(kernel)
+    dtype = jnp.result_type(x.dtype, *(l.dtype for l in leaves))
+    diag = kernel.variance(n, dtype=dtype)
+
+    def column(pivot_idx):
+        xp = lax.dynamic_slice_in_dim(x, pivot_idx, 1, 0)   # (1, D)
+        r2 = sq_distances(x, xp)[:, 0]
+        # exact-zero self-distance so White contributes at the pivot
+        r2 = r2.at[pivot_idx].set(0.0)
+        return kernel.evaluate_r2(r2)
+
+    floor = 1e-7 * jnp.max(diag)  # stop once the residual trace is exhausted
+
+    def step(carry, i):
+        l, d = carry
+        pivot = jnp.argmax(d)
+        k_col = column(pivot)
+        l_pivot = lax.dynamic_slice_in_dim(l, pivot, 1, 0)[0]   # (rank,)
+        resid = k_col - l @ l_pivot
+        d_pivot = d[pivot]
+        # emit a zero column once pivots are exhausted (dividing by a
+        # cancelled-to-zero d produces NaN/inf columns in f32)
+        new_col = jnp.where(
+            d_pivot > floor,
+            resid / jnp.sqrt(jnp.maximum(d_pivot, floor)),
+            jnp.zeros_like(resid),
+        )
+        l = l.at[:, i].set(new_col)
+        d = jnp.maximum(d - new_col**2, 0.0)
+        d = d.at[pivot].set(0.0)
+        return (l, d), None
+
+    l0 = jnp.zeros((n, rank), dtype)
+    (l_r, _), _ = lax.scan(step, (l0, diag), jnp.arange(rank))
+    return l_r
+
+
+def pivoted_cholesky_preconditioner(kernel, x, rank: int, noise: float):
+    """Woodbury-form inverse of ``P = L_r L_r^T + noise I`` as a callable
+    for :func:`cg_solve`. ``noise`` should be the additive diagonal (white
+    variance + nugget) so P matches K's noise floor."""
+    l_r = pivoted_cholesky(kernel, x, rank)
+    rank_eye = jnp.eye(rank, dtype=l_r.dtype)
+    small = noise * rank_eye + l_r.T @ l_r
+    small_chol = jnp.linalg.cholesky(small)
+
+    def apply(v):
+        squeeze = v.ndim == 1
+        v2 = v[:, None] if squeeze else v
+        ltv = l_r.T @ v2
+        from jax.scipy.linalg import cho_solve
+
+        inner = cho_solve((small_chol, True), ltv)
+        out = (v2 - l_r @ inner) / noise
+        return out[:, 0] if squeeze else out
+
+    return apply
 
 
 def lanczos(matvec, z, m: int):
@@ -125,12 +209,15 @@ def logml_value_and_grad_iterative(
     lanczos_iters: int = 32,
     cg_tol: float = 1e-5,
     cg_max_iters: int = 1000,
+    precond_rank: int = 0,
 ) -> IterativeLogML:
     """Matrix-free logML value + hyperparameter gradient estimate.
 
     The quadratic term and its gradient are CG-exact (up to ``cg_tol``);
     the logdet and its gradient are SLQ/Hutchinson estimates with shared
-    probes. Memory is O(N (D + probes)).
+    probes. Memory is O(N (D + probes)). ``precond_rank > 0`` builds a
+    pivoted-Cholesky preconditioner for the CG solves (essential when the
+    kernel's smooth part dominates the noise floor).
     """
     x = as_locations(x)
     n = x.shape[0]
@@ -141,6 +228,19 @@ def logml_value_and_grad_iterative(
 
     matvec = partial(matvec_with, params.kernel)
 
+    precond = None
+    if precond_rank > 0:
+        # factor the SMOOTH part only; White terms + nugget form the
+        # Woodbury diagonal (a mismatched noise floor makes P^{-1}K worse
+        # conditioned than K — measured on-chip)
+        from gpx.kernels import split_noise
+
+        smooth, noise_var = split_noise(params.kernel)
+        if smooth is not None:
+            precond = pivoted_cholesky_preconditioner(
+                smooth, x, precond_rank, noise=noise_var + nugget + 1e-8
+            )
+
     mean_val, mean_vjp = jax.vjp(lambda m: m(x), params.mean)
     r = y - mean_val
 
@@ -148,7 +248,7 @@ def logml_value_and_grad_iterative(
     probes = random.rademacher(k_probe, (n, n_probes), dtype=r.dtype)
     rhs = jnp.concatenate([r[:, None], probes], axis=1)
     solves, cg_iters, cg_converged = cg_solve(
-        matvec, rhs, tol=cg_tol, max_iters=cg_max_iters
+        matvec, rhs, tol=cg_tol, max_iters=cg_max_iters, precond=precond
     )
     alpha = solves[:, 0]
     probe_solves = solves[:, 1:]

@@ -84,6 +84,66 @@ def test_slq_logdet_accuracy(rng):
     assert abs(est - exact) / abs(exact) < 0.05, (est, exact)
 
 
+def test_pivoted_cholesky_low_rank_accuracy(rng):
+    from gpx.models.gp_iterative import pivoted_cholesky
+
+    # smooth SE kernel: rapidly decaying spectrum -> small rank suffices
+    x = jnp.asarray(random_locations(rng, 150, 1, scale=5.0))
+    kern = se(3.0, 5.5)
+    k = np.asarray(gram(kern, x, method="xla"))
+    l_r = np.asarray(pivoted_cholesky(kern, x, rank=25))
+    assert l_r.shape == (150, 25)
+    err = np.abs(k - l_r @ l_r.T).max()
+    assert err < 1e-3 * np.abs(k).max(), err
+
+
+def test_preconditioned_cg_cuts_iterations(rng):
+    from gpx.models.gp_iterative import pivoted_cholesky_preconditioner
+
+    # ill-conditioned: smooth kernel dominates a small noise floor
+    x = jnp.asarray(np.sort(rng.uniform(-5, 5, size=400)).reshape(-1, 1))
+    kern = se(10.0, 3.0) + white(1e-2)
+    k = gram(kern, x, nugget=1e-3, method="xla")
+    b = jnp.asarray(rng.normal(size=400))
+    mv = lambda v: k @ v
+
+    _, iters_plain, conv_plain = cg_solve(mv, b, tol=1e-6, max_iters=2000)
+    precond = pivoted_cholesky_preconditioner(kern, x, rank=40, noise=1.1e-2)
+    sol, iters_pc, conv_pc = cg_solve(mv, b, tol=1e-6, max_iters=2000,
+                                      precond=precond)
+    assert bool(conv_pc)
+    np.testing.assert_allclose(np.asarray(k @ sol), np.asarray(b), atol=1e-4)
+    assert int(iters_pc) < int(iters_plain), (int(iters_pc), int(iters_plain))
+
+
+def test_split_noise():
+    from gpx import matern
+    from gpx.kernels import split_noise
+
+    smooth, nz = split_noise(se(3.0, 5.5) + white(0.5) + white(0.25))
+    assert float(nz) == 0.75
+    assert isinstance(smooth, type(se(1.0, 1.0)))
+    smooth2, nz2 = split_noise(white(0.3))
+    assert smooth2 is None and float(nz2) == 0.3
+    smooth3, nz3 = split_noise(se(1.0, 1.0) * matern(1.0, 1.5, 2.0))
+    assert float(nz3) == 0.0 and smooth3 is not None
+
+
+def test_iterative_logml_precond_matches_plain(rng):
+    p, x, y = _toy(rng, n=250)
+    r_plain = logml_value_and_grad_iterative(
+        p, x, y, jax.random.PRNGKey(5), n_probes=16, lanczos_iters=40,
+        cg_tol=1e-8,
+    )
+    r_pc = logml_value_and_grad_iterative(
+        p, x, y, jax.random.PRNGKey(5), n_probes=16, lanczos_iters=40,
+        cg_tol=1e-8, precond_rank=30,
+    )
+    assert bool(r_pc.cg_converged)
+    assert int(r_pc.cg_iters) <= int(r_plain.cg_iters)
+    np.testing.assert_allclose(float(r_pc.value), float(r_plain.value), rtol=1e-3)
+
+
 def test_iterative_logml_matches_dense(rng):
     p, x, y = _toy(rng, n=250)
     result = logml_value_and_grad_iterative(
