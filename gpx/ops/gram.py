@@ -35,7 +35,10 @@ def gram(kernel, x, x2=None, *, nugget: float = 0.0, method: str = "auto"):
     if method == "pallas":
         from gpx.ops.pallas_gram import pallas_gram
 
-        return pallas_gram(kernel, x, x2, nugget=nugget)
+        # off-TPU an explicit pallas request runs interpreted (slow but
+        # correct) so tests and debugging sessions behave everywhere
+        interpret = jax.default_backend() != "tpu"
+        return pallas_gram(kernel, x, x2, nugget=nugget, interpret=interpret)
     if method != "xla":
         raise ValueError(f"unknown gram method: {method}")
     r2 = sq_distances(x, x2)

@@ -22,6 +22,15 @@ def test_pallas_gram_symmetric(rng, n, d):
     np.testing.assert_allclose(np.diag(got), 3.0 + 0.5 + 1e-3, rtol=1e-6)
 
 
+def test_explicit_pallas_method_off_tpu(rng):
+    # method="pallas" off-TPU runs interpreted instead of crashing
+    x = random_locations(rng, 40, 1, scale=5.0).astype(np.float32)
+    k = se(2.0, 3.0)
+    got = np.asarray(gram(k, x, nugget=1e-3, method="pallas"))
+    want = np.asarray(gram(k, x, nugget=1e-3, method="xla"))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_pallas_gram_cross(rng):
     x1 = random_locations(rng, 96, 2, scale=5.0).astype(np.float32)
     x2 = random_locations(rng, 160, 2, scale=5.0).astype(np.float32)
