@@ -78,8 +78,25 @@ def _tri_inverse_recursive(l, base: int):
     c = l[..., m:, m:]
     a_inv = _tri_inverse_recursive(a, base)
     c_inv = _tri_inverse_recursive(c, base)
-    ba = jnp.matmul(b, a_inv, preferred_element_type=l.dtype)
-    lower_left = -jnp.matmul(c_inv, ba, preferred_element_type=l.dtype)
+    # the combine products have a triangular operand (A^{-1}, C^{-1} lower):
+    # the scheduled Pallas trmm skips the dead half's MACs and DMA; XLA
+    # multiplies densely (2x waste). Use it for the large square levels.
+    use_trmm = (
+        jax.default_backend() == "tpu"
+        and l.ndim == 2
+        and l.dtype == jnp.float32
+        and n - m == m
+        and m % 512 == 0
+        and m >= 2048
+    )
+    if use_trmm:
+        from gpx.ops.pallas_trmm import trmm
+
+        ba = trmm(b, a_inv, mode="right_lower")
+        lower_left = -trmm(ba, c_inv, mode="left_lower")
+    else:
+        ba = jnp.matmul(b, a_inv, preferred_element_type=l.dtype)
+        lower_left = -jnp.matmul(c_inv, ba, preferred_element_type=l.dtype)
     top = jnp.concatenate(
         [a_inv, jnp.zeros((*l.shape[:-2], m, n - m), dtype=l.dtype)], axis=-1
     )
