@@ -36,9 +36,11 @@ class PosteriorSamples(NamedTuple):
     extras: dict
 
 
-def _gp_log_density(x, y, log_prior, nugget):
+def _gp_log_density(x, y, log_prior, nugget, safe=False):
     def log_density(p: Parameters):
-        return log_prior(p) + gp.log_marginal_likelihood(p, x, y, nugget=nugget)
+        return log_prior(p) + gp.log_marginal_likelihood(
+            p, x, y, nugget=nugget, safe=safe
+        )
 
     return log_density
 
@@ -80,13 +82,14 @@ def sample_mh(
     thin: int = 1,
     nugget: float = gp.LOGML_NUGGET,
     init_jitter: float = 0.1,
+    safe: bool = False,
 ) -> PosteriorSamples:
     """Metropolis-Hastings over all hyperparameters — the rebuild of
     ``KernelParameters.sample`` + ``ParametersSimulatedGp``
     (KernelParameters.scala:231-246, SimulatedGp.scala:100-166): Gaussian
     random walk on unconstrained (log) space == the reference's log-scale
     proposal, with the Jacobian term it omitted."""
-    log_density = _gp_log_density(x, y, log_prior, nugget)
+    log_density = _gp_log_density(x, y, log_prior, nugget, safe=safe)
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
     )

@@ -50,6 +50,19 @@ def test_mh_posterior_recovery():
     assert 0.2 < w_med < 1.2
 
 
+def test_mh_safe_mode_runs():
+    # safe=True routes through the nugget-escalation Cholesky: degenerate
+    # proposals are rejected (-inf) instead of propagating NaNs
+    x, y, truth = _simulate(jax.random.PRNGKey(5), n=30)
+    template = Parameters(mean=zero(), kernel=se(2.0, 2.0) + white(1.0))
+    post = sample_mh(
+        jax.random.PRNGKey(6), x, y, template, _log_prior,
+        n_samples=100, n_chains=2, safe=True,
+    )
+    assert np.isfinite(np.asarray(post.flat)).all()
+    assert (np.asarray(post.accept_rate) > 0).all()
+
+
 def test_hmc_posterior_recovery():
     x, y, truth = _simulate(jax.random.PRNGKey(2))
     template = Parameters(mean=zero(), kernel=se(2.0, 2.0) + white(1.0))
