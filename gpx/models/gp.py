@@ -122,7 +122,13 @@ def logml_value_and_grad(
     hyperparameters at once, instead of forming N x N products per parameter
     (and without the reference's Jacobian sign bugs, SURVEY.md §7).
     ``method="autodiff"`` differentiates through the Cholesky instead
-    (~3-4x slower at N=16k: the XLA Cholesky VJP's trsm passes dominate).
+    (~7x slower at N=16k: the XLA Cholesky VJP's trsm passes dominate).
+
+    f32 accuracy envelope of the fused TPU path at N=16k (vs f64): value to
+    ~5e-4 relative (explicit-inverse solve + one iterative-refinement step),
+    dominant gradient components to ~1e-3; the small cancellation-limited
+    components carry O(0.1-1) absolute noise. Exact-parity checks should use
+    ``method="autodiff"`` or run in x64 on CPU.
     """
     if method == "autodiff":
         return jax.value_and_grad(
@@ -148,18 +154,24 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
 
     fused = jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096
     if fused:
-        # the gradient needs L^{-1} anyway, so replace both triangular
-        # solves with dense matvecs against it: XLA's trsv is latency-bound
-        # at large N (~33 ms each at N=16k vs ~1.5 ms for the matvec)
+        # the gradient needs L^{-1} anyway, so compute alpha with dense
+        # matvecs against it (XLA's trsv is latency-bound: ~33 ms each at
+        # N=16k vs ~1.5 ms per matvec) — PLUS one step of iterative
+        # refinement: the explicit inverse alone is backward-unstable
+        # (alpha error ~1e-3 relative on 16k SE Grams), and one K-matvec
+        # correction restores trsv-level accuracy for ~4 ms.
         l_inv = tri_inverse_lower(l)
-        u = l_inv @ r
-        alpha = l_inv.T @ u
+        alpha0 = l_inv.T @ (l_inv @ r)
+        resid1 = r - k_val @ alpha0
+        alpha = alpha0 + l_inv.T @ (l_inv @ resid1)
+        quad = r @ alpha
     else:
         u = forward_solve(l, r)
         alpha = back_solve(l.T, u)
+        quad = u @ u
 
     value = (
-        -0.5 * u @ u
+        -0.5 * quad
         - jnp.sum(jnp.log(jnp.diagonal(l)))
         - 0.5 * n * jnp.log(2.0 * jnp.pi)
     )
@@ -206,23 +218,49 @@ def fit(
     ``(mean, cov)`` when ``full_cov=True`` (needed for joint posterior draws,
     which the reference cannot produce from its per-point loop).
     """
+    from gpx.ops.chol import back_solve
+
     x = as_locations(x)
     xs = as_locations(xs)
+    n, m = x.shape[0], xs.shape[0]
     kxx = params.kernel.gram(x, nugget=nugget)
     l = cholesky(kxx)
 
     kxs = params.kernel.gram(x, xs)            # (N, M) cross-covariance
-    a = forward_solve(l, kxs)                  # one trsm: all test points
-    v = forward_solve(l, y - params.mean(x))   # hoisted out of the loop
-    mean = params.mean(xs) + a.T @ v
+    # mean via alpha = K^{-1}(y - m): two backward-stable vector solves and
+    # one MXU matmul — O(N^2 + N M) for ANY number of test points. (An
+    # explicit L^{-1} matmul is faster still but backward-UNSTABLE: measured
+    # 200% mean error vs f64 truth at N=16k where trsm gives 0.03%.)
+    u = forward_solve(l, y - params.mean(x))
+    alpha = back_solve(l.T, u)
+    mean = params.mean(xs) + kxs.T @ alpha
+
+    # (co)variance needs A = L^{-1} K(x, xs). XLA's trsm temporaries blow up
+    # with very wide RHS (67 GB at 16k x 16k), so chunk the columns.
+    a = _chunked_forward_solve(l, kxs)
 
     if full_cov:
         kss = params.kernel.gram(xs)
         cov = kss - a.T @ a
         return mean, cov
     kss_diag = params.kernel.variance(xs.shape[0], dtype=mean.dtype)
-    var = kss_diag - jnp.sum(a * a, axis=0)
+    # clamp: k(s,s) - |a|^2 cancels to slightly negative in f32 when the
+    # posterior variance is ~0 (test points on dense training data)
+    var = jnp.maximum(kss_diag - jnp.sum(a * a, axis=0), 0.0)
     return PosteriorSummary(x=xs, mean=mean, variance=var)
+
+
+def _chunked_forward_solve(l, rhs, chunk: int = 1024):
+    """``L^{-1} rhs`` with the RHS split into column chunks: bounds XLA's
+    trsm temporaries (O(N^2) per chunk instead of O(N * M))."""
+    m = rhs.shape[1]
+    if m <= chunk:
+        return forward_solve(l, rhs)
+    pad = (-m) % chunk
+    rhs_p = jnp.pad(rhs, ((0, 0), (0, pad)))
+    cols = jnp.moveaxis(rhs_p.reshape(l.shape[0], -1, chunk), 1, 0)
+    out = jax.lax.map(lambda c: forward_solve(l, c), cols)
+    return jnp.moveaxis(out, 0, 1).reshape(l.shape[0], -1)[:, :m]
 
 
 def predict(summary: PosteriorSummary, interval: float = 0.95):
