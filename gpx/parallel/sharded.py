@@ -94,11 +94,13 @@ def sharded_predict(params: Parameters, x, y, xs, mesh: Mesh, *,
         out_specs=(P(axis), P(axis)),
     )
     def block(l, v, xs_blk):
+        from gpx.models.gp import _chunked_forward_solve
+
         kxs = params.kernel.gram(x, xs_blk, method="xla")
-        a = forward_solve(l, kxs)
+        a = _chunked_forward_solve(l, kxs)  # bounds XLA's wide-trsm temps
         mean = params.mean(xs_blk) + a.T @ v
         kss = params.kernel.variance(xs_blk.shape[0], dtype=mean.dtype)
-        var = kss - jnp.sum(a * a, axis=0)
+        var = jnp.maximum(kss - jnp.sum(a * a, axis=0), 0.0)
         return mean, var
 
     mean, var = jax.jit(block)(l, v, xs)
