@@ -121,11 +121,10 @@ def cmd_posterior_predictive(args):
     template = gpx.Parameters(
         mean=gpx.zero(), kernel=gpx.se(1.0, 1.0) + gpx.white(1.0)
     )
-    curves = []
-    for row in flat[-20:]:
-        p = gpx.params.from_array(template, jnp.asarray(row))
-        curves.append(np.asarray(gp.fit(p, xobs, yobs, xs).mean))
-    plots.savefig(plots.pp_plot(xs, np.stack(curves)), OUT / "posterior_predictive.png")
+    curves = gp.posterior_predictive_curves(
+        flat, template, xobs, yobs, xs, n_curves=20
+    )
+    plots.savefig(plots.pp_plot(xs, np.asarray(curves)), OUT / "posterior_predictive.png")
     print(f"wrote {OUT}/posterior_predictive.png")
 
 

@@ -289,6 +289,45 @@ def posterior_draw(
     return mean + z @ l.T
 
 
+def posterior_predictive_curves(
+    post_flat,
+    template: Parameters,
+    x,
+    y,
+    xs,
+    *,
+    n_curves: int = 20,
+    nugget: float = PREDICT_NUGGET,
+):
+    """Posterior-predictive mean curves from MCMC hyperparameter draws —
+    the reference's PosteriorPredictive workflow (SimulatedGp.scala:197-247:
+    re-read the chain CSV, fit a GP per retained draw, overlay the means).
+
+    ``post_flat``: (n_chains, n_draws, dim) or (n_draws, dim) constrained
+    draws (e.g. ``PosteriorSamples.flat`` or a CSV re-read). Returns
+    ``(n_curves, M)`` posterior-mean curves for ``gpx.plots.pp_plot``.
+    """
+    import numpy as np
+
+    flat = jnp.asarray(np.asarray(post_flat))
+    if flat.ndim == 3:
+        flat = flat.reshape(-1, flat.shape[-1])
+    take = max(1, flat.shape[0] // n_curves)
+    selected = flat[::take][:n_curves]
+
+    def one(row):
+        p = from_array_params(template, row)
+        return fit(p, x, y, xs, nugget=nugget).mean
+
+    return jax.vmap(one)(selected)
+
+
+def from_array_params(template: Parameters, row):
+    from gpx.params import from_array
+
+    return from_array(template, row)
+
+
 def get_intervals(mean, cov, interval: float):
     """Marginal intervals from an MVN — Summarise.getIntervals
     (Summarise.scala:30-38)."""

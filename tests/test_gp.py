@@ -189,6 +189,26 @@ def test_posterior_draw_consistent_with_fit(rng):
     )
 
 
+def test_posterior_predictive_curves(rng):
+    p, x, y = _toy(rng, n=20)
+    xs = np.linspace(-5, 5, 30)
+    # fake "chains": stack mild perturbations of the true params
+    base = np.asarray(
+        jax.numpy.concatenate([jax.numpy.atleast_1d(v) for v in
+                               jax.tree_util.tree_leaves(p)])
+    )
+    flat = np.stack([base * (1 + 0.05 * rng.normal(size=base.size))
+                     for _ in range(40)])
+    curves = gp.posterior_predictive_curves(flat, p, x, y, xs, n_curves=10)
+    assert curves.shape == (10, 30)
+    assert np.isfinite(np.asarray(curves)).all()
+    # chains-shaped input too
+    curves2 = gp.posterior_predictive_curves(
+        flat.reshape(2, 20, -1), p, x, y, xs, n_curves=5
+    )
+    assert curves2.shape == (5, 30)
+
+
 def test_sample_points_sorted():
     pts = gp.sample_points(jax.random.PRNGKey(0), -10.0, 10.0, 50)
     arr = np.asarray(pts)
