@@ -11,11 +11,11 @@ Key redesigns vs the reference:
 * ``draw``: Cholesky-based sampling (``mu + L z``) instead of a full
   symmetric eigendecomposition (GaussianProcess.scala:79-82) — one O(N^3/3)
   factorization that also feeds the likelihood, instead of an O(N^3) eigh.
-* ``predict``: GPML Algorithm 2.1, but *batched* — one ``trsm`` over an
-  (N, M) cross-covariance replaces the reference's per-test-point ``dtrsv``
-  loop (Predict.scala:71-93, O(M N^2) solves -> one MXU pass), and the
-  ``forwardSolve(l, ys)`` the reference recomputes every iteration
-  (Predict.scala:90) is hoisted out.
+* ``predict``: GPML Algorithm 2.1, but *batched* — the posterior mean is one
+  ``alpha`` solve plus an MXU matmul over the whole (N, M) cross-covariance,
+  and the variance a column-chunked ``trsm``, replacing the reference's
+  per-test-point ``dtrsv`` loop (Predict.scala:71-93, O(M N^2) solves) and
+  the ``forwardSolve(l, ys)`` it recomputes every iteration (Predict.scala:90).
 * ``log_marginal_likelihood`` supports the mean function in prediction too
   (the reference's Predict.fit silently ignores the mean function).
 * gradients: ``jax.value_and_grad`` through the Cholesky replaces the
