@@ -4,7 +4,7 @@ Rebuild of layer L4 (SURVEY.md §1): all samplers are ``lax.scan`` loops over
 jitted transition kernels, vmapped over a chains axis.
 """
 
-from gpx.infer import base, dual_averaging, ehmc, gibbs, hmc, mcmc, mh
+from gpx.infer import base, dual_averaging, ehmc, gibbs, hmc, mcmc, mh, nuts
 from gpx.infer.mcmc import (
     PosteriorSamples,
     sample_ehmc,
@@ -21,6 +21,7 @@ __all__ = [
     "hmc",
     "mcmc",
     "mh",
+    "nuts",
     "PosteriorSamples",
     "sample_ehmc",
     "sample_hmc",

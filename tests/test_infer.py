@@ -120,6 +120,74 @@ def test_ehmc_on_gaussian():
     np.testing.assert_allclose(draws.var(0), 1.0, atol=0.2)
 
 
+def test_nuts_recovers_gaussian_moments():
+    from gpx.infer import nuts
+
+    logpost = _std_normal_logpost()
+    result, extras = nuts.sample(
+        logpost, jnp.zeros(2), jax.random.PRNGKey(20), 4000,
+        warmup_iters=200, max_depth=8,
+    )
+    draws = np.asarray(result.samples)
+    assert 0.05 < float(extras["eps"]) < 2.5
+    np.testing.assert_allclose(draws.mean(0), 0.0, atol=0.1)
+    np.testing.assert_allclose(draws.var(0), 1.0, atol=0.15)
+    # NUTS should move nearly every iteration on a smooth target
+    assert float(result.accept_rate) > 0.8
+
+
+def test_nuts_correlated_target():
+    from gpx.infer import nuts
+
+    # strongly correlated 2-D Gaussian: depth adaptation must cope
+    rho = 0.9
+    prec = np.linalg.inv(np.array([[1.0, rho], [rho, 1.0]]))
+    pj = jnp.asarray(prec)
+
+    def logpost(q):
+        return -0.5 * q @ pj @ q
+
+    result, _ = nuts.sample(
+        logpost, jnp.zeros(2), jax.random.PRNGKey(21), 6000,
+        warmup_iters=300, max_depth=8,
+    )
+    draws = np.asarray(result.samples)
+    emp = np.cov(draws.T)
+    np.testing.assert_allclose(emp[0, 1], rho, atol=0.12)
+    np.testing.assert_allclose(np.diag(emp), 1.0, atol=0.15)
+
+
+def test_nuts_on_gp_posterior(rng):
+    # end-to-end: NUTS over GP hyperparameters agrees with HMC
+    from gpx import Parameters, se, white, zero
+    from gpx.distributions import Gamma
+    from gpx.infer import mh, nuts
+    from gpx.models import gp as gpmod
+
+    x = jnp.asarray(rng.uniform(-10, 10, size=(30, 1)))
+    truth = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    y = gpmod.draw(jax.random.PRNGKey(22), truth, x)
+
+    def log_density(p):
+        pr = Gamma(concentration=jnp.asarray(2.0), rate=jnp.asarray(0.5))
+        a, b = p.kernel.kernels
+        prior = pr.logpdf(a.h) + pr.logpdf(a.sigma) + pr.logpdf(b.sigma)
+        return prior + gpmod.log_marginal_likelihood(p, x, y)
+
+    logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
+        log_density, truth
+    )
+    result, _ = nuts.sample(
+        logpost, flat0, jax.random.PRNGKey(23), 800, warmup_iters=200,
+        max_depth=6,
+    )
+    draws = np.asarray(result.samples)
+    assert np.isfinite(draws).all()
+    # noise parameter (exp of the last coordinate) recovers ~0.5
+    noise = np.exp(draws[:, 2])
+    assert 0.2 < np.median(noise) < 1.2, np.median(noise)
+
+
 def test_sample_chains_vmapped_shapes():
     logpost = _std_normal_logpost()
     step = mh.kernel(logpost, mh.gaussian_random_walk(1.0))
