@@ -9,6 +9,7 @@ capability map this implements.
 
 from gpx import bijectors, distributions, kernels, means, params
 from gpx.kernels import (
+    Linear,
     Matern,
     Periodic,
     Product,
@@ -16,6 +17,7 @@ from gpx.kernels import (
     SquaredExponential,
     Sum,
     White,
+    linear,
     matern,
     periodic,
     rational_quadratic,
@@ -31,6 +33,7 @@ __all__ = [
     "kernels",
     "means",
     "params",
+    "Linear",
     "Matern",
     "Periodic",
     "Product",
@@ -38,6 +41,7 @@ __all__ = [
     "SquaredExponential",
     "Sum",
     "White",
+    "linear",
     "matern",
     "periodic",
     "rational_quadratic",

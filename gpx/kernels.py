@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from gpx import bijectors as bij
@@ -50,6 +51,19 @@ class Kernel:
     def evaluate_r2(self, r2):
         raise NotImplementedError
 
+    def evaluate_xx(self, x1, x2, r2):
+        """Kernel value given the raw locations AND their squared distances.
+        Stationary kernels (the default) ignore the locations; non-stationary
+        kernels (Linear) override this. ``x1: (N, D)``, ``x2: (M, D)``,
+        ``r2: (N, M)``."""
+        return self.evaluate_r2(r2)
+
+    @property
+    def is_stationary(self) -> bool:
+        """True when the kernel depends on locations only through distance —
+        the requirement for the fused Pallas paths."""
+        return True
+
     def evaluate(self, d):
         """Kernel value at (non-squared) distance ``d`` — the reference's
         ``Double => Double`` covFn view (KernelFunction.scala:47-55)."""
@@ -58,9 +72,23 @@ class Kernel:
 
     def variance(self, n: int, dtype=None):
         """Kernel value at distance zero, broadcast to ``(n,)`` — the
-        ``kyy = covFn(dist(xs, xs))`` term of Predict.scala:78."""
+        ``kyy = covFn(dist(xs, xs))`` term of Predict.scala:78. Only valid
+        for stationary kernels; use :meth:`diag` generally."""
         z = jnp.zeros((n,), dtype=dtype or jnp.result_type(float))
         return self.evaluate_r2(z)
+
+    def diag(self, x, dtype=None):
+        """``k(x_i, x_i)`` per point — the general form of :meth:`variance`."""
+        from gpx.ops.distance import as_locations
+
+        x = as_locations(x)
+        if self.is_stationary:
+            return self.variance(x.shape[0], dtype=dtype or x.dtype)
+        r2 = jnp.zeros((x.shape[0],), dtype=dtype or x.dtype)
+        return jax.vmap(
+            lambda xi: self.evaluate_xx(xi[None, :], xi[None, :],
+                                        jnp.zeros((1, 1), r2.dtype))[0, 0]
+        )(x)
 
     # -- gram construction (delegates to gpx.ops) --------------------------
     def gram(self, x, x2=None, *, nugget: float = 0.0, method: str = "auto"):
@@ -200,6 +228,30 @@ class Periodic(Kernel):
 
 
 @pytree_dataclass
+class Linear(Kernel):
+    """Dot-product kernel ``k(x, x') = v * (x . x') + c`` — non-stationary
+    (Bayesian linear regression as a GP); beyond the reference's stationary
+    set. Uses the ``evaluate_xx`` interface; excluded from the Pallas
+    distance-tile paths by ``is_stationary``."""
+
+    v: jnp.ndarray
+    c: jnp.ndarray
+
+    @property
+    def is_stationary(self) -> bool:
+        return False
+
+    def evaluate_r2(self, r2):
+        raise TypeError("Linear is non-stationary: no distance-only form")
+
+    def evaluate_xx(self, x1, x2, r2):
+        return self.v * (x1 @ x2.T) + self.c
+
+    def bijectors(self):
+        return Linear(v=bij.positive, c=bij.positive)
+
+
+@pytree_dataclass
 class Sum(Kernel):
     """Sum combinator — reference semantics (KernelFunction.scala:47-55)."""
 
@@ -210,6 +262,16 @@ class Sum(Kernel):
         for k in self.kernels[1:]:
             out = out + k.evaluate_r2(r2)
         return out
+
+    def evaluate_xx(self, x1, x2, r2):
+        out = self.kernels[0].evaluate_xx(x1, x2, r2)
+        for k in self.kernels[1:]:
+            out = out + k.evaluate_xx(x1, x2, r2)
+        return out
+
+    @property
+    def is_stationary(self) -> bool:
+        return all(k.is_stationary for k in self.kernels)
 
     def bijectors(self):
         return Sum(tuple(k.bijectors() for k in self.kernels))
@@ -227,6 +289,16 @@ class Product(Kernel):
         for k in self.kernels[1:]:
             out = out * k.evaluate_r2(r2)
         return out
+
+    def evaluate_xx(self, x1, x2, r2):
+        out = self.kernels[0].evaluate_xx(x1, x2, r2)
+        for k in self.kernels[1:]:
+            out = out * k.evaluate_xx(x1, x2, r2)
+        return out
+
+    @property
+    def is_stationary(self) -> bool:
+        return all(k.is_stationary for k in self.kernels)
 
     def bijectors(self):
         return Product(tuple(k.bijectors() for k in self.kernels))
@@ -267,6 +339,10 @@ def matern(sigma, nu, l) -> Matern:
 
 def white(sigma) -> White:
     return White(sigma=jnp.asarray(sigma))
+
+
+def linear(v, c=0.0) -> Linear:
+    return Linear(v=jnp.asarray(v), c=jnp.asarray(c))
 
 
 def rational_quadratic(h, alpha, l) -> RationalQuadratic:

@@ -165,7 +165,7 @@ def predict(
         kernels = [kernels] * c
     kxs = jnp.stack([gram(kern, x, xs) for kern in kernels])     # (C, N, M)
     kss = jnp.stack(
-        [kern.variance(xs.shape[0], dtype=fitres.f.dtype) for kern in kernels]
+        [kern.diag(xs, dtype=fitres.f.dtype) for kern in kernels]
     )                                                            # (C, M)
 
     diff = fitres.y_onehot - fitres.pi                           # (C, N)

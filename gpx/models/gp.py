@@ -152,7 +152,8 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
     l = cholesky(k_val)
     r = y - mean_val
 
-    fused = jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096
+    fused = (jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096
+             and params.kernel.is_stationary)
     if fused:
         # the gradient needs L^{-1} anyway, so compute alpha with dense
         # matvecs against it (XLA's trsv is latency-bound: ~33 ms each at
@@ -243,7 +244,7 @@ def fit(
         kss = params.kernel.gram(xs)
         cov = kss - a.T @ a
         return mean, cov
-    kss_diag = params.kernel.variance(xs.shape[0], dtype=mean.dtype)
+    kss_diag = params.kernel.diag(xs, dtype=mean.dtype)
     # clamp: k(s,s) - |a|^2 cancels to slightly negative in f32 when the
     # posterior variance is ~0 (test points on dense training data)
     var = jnp.maximum(kss_diag - jnp.sum(a * a, axis=0), 0.0)

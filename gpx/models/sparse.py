@@ -56,7 +56,7 @@ def elbo(params: Parameters, z, x, y, *, noise: float):
     exact marginal likelihood when the inducing points cover the data
     (``z = x``); always a lower bound otherwise."""
     x, z, n, sigma, luu, lb, a, c, err = _common(params, z, x, y, noise)
-    kff_diag = params.kernel.variance(n, dtype=err.dtype)
+    kff_diag = params.kernel.diag(x, dtype=err.dtype)
     bound = (
         -0.5 * n * jnp.log(2.0 * jnp.pi * sigma**2)
         - jnp.sum(jnp.log(jnp.diagonal(lb)))
@@ -82,7 +82,7 @@ def fit(params: Parameters, z, x, y, xs, *, noise: float) -> SparseSummary:
     tmp1 = forward_solve(luu, kus)                 # Luu^{-1} Kus
     tmp2 = forward_solve(lb, tmp1)                 # LB^{-1} ...
     mean = params.mean(xs) + tmp2.T @ c
-    kss = params.kernel.variance(xs.shape[0], dtype=mean.dtype)
+    kss = params.kernel.diag(xs, dtype=mean.dtype)
     var = jnp.maximum(
         kss - jnp.sum(tmp1 * tmp1, axis=0) + jnp.sum(tmp2 * tmp2, axis=0),
         0.0,

@@ -31,8 +31,10 @@ def gram(kernel, x, x2=None, *, nugget: float = 0.0, method: str = "auto"):
     """
     x = as_locations(x)
     if method == "auto":
-        method = _auto_method(x, x2)
+        method = _auto_method(kernel, x, x2)
     if method == "pallas":
+        if not kernel.is_stationary:
+            raise ValueError("pallas gram requires a stationary kernel")
         from gpx.ops.pallas_gram import pallas_gram
 
         # off-TPU an explicit pallas request runs interpreted (slow but
@@ -42,17 +44,18 @@ def gram(kernel, x, x2=None, *, nugget: float = 0.0, method: str = "auto"):
     if method != "xla":
         raise ValueError(f"unknown gram method: {method}")
     r2 = sq_distances(x, x2)
-    k = kernel.evaluate_r2(r2)
+    k = kernel.evaluate_xx(x, x if x2 is None else as_locations(x2), r2)
     if x2 is None and nugget:
         k = k + nugget * jnp.eye(k.shape[-1], dtype=k.dtype)
     return k
 
 
-def _auto_method(x, x2) -> str:
+def _auto_method(kernel, x, x2) -> str:
     # Pallas pays off on-device for large grams (measured on v5e: 3.6x over
     # the fused XLA path at 16k x 16k, break-even near 8k); XLA's fused jnp
-    # path wins below that and is the only option off-TPU.
-    if jax.default_backend() != "tpu":
+    # path wins below that and is the only option off-TPU and for
+    # non-stationary kernels.
+    if jax.default_backend() != "tpu" or not kernel.is_stationary:
         return "xla"
     n = x.shape[0]
     m = n if x2 is None else x2.shape[0]

@@ -86,8 +86,11 @@ def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
     r = v2.shape[1]
 
     use_pallas = (
-        jax.default_backend() == "tpu" or interpret
-    ) and n % bt == 0 and r <= 512
+        (jax.default_backend() == "tpu" or interpret)
+        and kernel.is_stationary
+        and n % bt == 0
+        and r <= 512
+    )
     if not use_pallas:
         out = _gram_matvec_xla(kernel, x, v2, nugget)
         return out[:, 0] if squeeze else out
@@ -145,7 +148,7 @@ def _gram_matvec_xla(kernel, x, v2, nugget, block: int = 2048):
         cols = jnp.arange(n)
         diag = g_rows[:, None] == cols[None, :]
         r2 = jnp.where(diag, 0.0, r2)
-        kb = kernel.evaluate_r2(r2)
+        kb = kernel.evaluate_xx(xb, x, r2)
         if nugget:
             kb = jnp.where(diag, kb + nugget, kb)
         return kb @ v2

@@ -99,7 +99,7 @@ def sharded_predict(params: Parameters, x, y, xs, mesh: Mesh, *,
         kxs = params.kernel.gram(x, xs_blk, method="xla")
         a = _chunked_forward_solve(l, kxs)  # bounds XLA's wide-trsm temps
         mean = params.mean(xs_blk) + a.T @ v
-        kss = params.kernel.variance(xs_blk.shape[0], dtype=mean.dtype)
+        kss = params.kernel.diag(xs_blk, dtype=mean.dtype)
         var = jnp.maximum(kss - jnp.sum(a * a, axis=0), 0.0)
         return mean, var
 

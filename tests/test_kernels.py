@@ -148,3 +148,40 @@ def test_distances_euclidean(rng):
     d = np.asarray(distances(x))
     ref = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
     np.testing.assert_allclose(d, ref, atol=1e-8)
+
+
+def test_linear_kernel_nonstationary(rng):
+    import jax
+    from gpx import Parameters, linear, zero
+    from gpx.models import gp as gpmod
+
+    k = kernels.linear(2.0, 0.5)
+    assert not k.is_stationary
+    assert not (k + kernels.se(1.0, 1.0)).is_stationary
+    x = jnp.asarray(rng.normal(size=(12, 2)))
+    K = gram(k, x)
+    want = 2.0 * np.asarray(x) @ np.asarray(x).T + 0.5
+    np.testing.assert_allclose(np.asarray(K), want, rtol=1e-10)
+    # diag and cross-gram
+    np.testing.assert_allclose(
+        np.asarray(k.diag(x)), np.diag(want), rtol=1e-10
+    )
+    x2 = jnp.asarray(rng.normal(size=(5, 2)))
+    np.testing.assert_allclose(
+        np.asarray(cross_gram(k, x, x2)),
+        2.0 * np.asarray(x) @ np.asarray(x2).T + 0.5,
+        rtol=1e-10,
+    )
+    # end-to-end: logml + grad + predict with a Linear + White model
+    p = Parameters(mean=zero(), kernel=k + kernels.white(0.3))
+    y = jnp.asarray(rng.normal(size=12))
+    val, grads = jax.value_and_grad(
+        lambda pp: gpmod.log_marginal_likelihood(pp, x, y)
+    )(p)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+    s = gpmod.fit(p, x, y, x2)
+    assert np.isfinite(np.asarray(s.mean)).all()
+    with pytest.raises(ValueError):
+        gram(k, x, method="pallas")
