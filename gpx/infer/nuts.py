@@ -30,11 +30,13 @@ class NUTSState(NamedTuple):
     log_prob: jnp.ndarray
     grad: jnp.ndarray
     accepted: jnp.ndarray      # counts depth>0 transitions (diagnostics)
+    depth: jnp.ndarray         # tree depth reached last transition (Stan treedepth)
 
 
 def init(position, log_posterior) -> NUTSState:
     lp, g = jax.value_and_grad(log_posterior)(position)
-    return NUTSState(position, lp, g, jnp.zeros((), jnp.int32))
+    z = jnp.zeros((), jnp.int32)
+    return NUTSState(position, lp, g, z, z)
 
 
 def _popcount(n):
@@ -63,10 +65,14 @@ def kernel(log_posterior: Callable, eps, max_depth: int = 10, mass=None):
         lp_new, g_new = vag(q_new)
         return q_new, p_half + 0.5 * e * g_new, g_new, lp_new
 
-    def is_turn(q_a, p_a, q_b, p_b):
-        dq = q_b - q_a
+    def is_turn_dq(dq, p_a, p_b):
+        """Generalized U-turn criterion given ``dq`` already oriented in
+        trajectory-time order (time-later minus time-earlier position)."""
         turn = (jnp.dot(dq, inv_mass * p_a) < 0) | (jnp.dot(dq, inv_mass * p_b) < 0)
         return turn | jnp.isnan(jnp.dot(dq, p_a))
+
+    def is_turn(q_minus, p_minus, q_plus, p_plus):
+        return is_turn_dq(q_plus - q_minus, p_minus, p_plus)
 
     def step(key, state: NUTSState) -> NUTSState:
         dim = state.position.shape[0]
@@ -136,7 +142,13 @@ def kernel(log_posterior: Callable, eps, max_depth: int = 10, mass=None):
                     aligned = ((n + 1) % (1 << j)) == 0
                     a = n + 1 - (1 << j)
                     a_slot = _popcount(a)
-                    t = is_turn(ck_q[a_slot], ck_p[a_slot], q1, p1)
+                    # Checkpoint ``a`` precedes leaf ``n`` in GENERATION
+                    # order; for backward subtrees (direction = -1) that is
+                    # time-REVERSED, so orient dq into trajectory-time order
+                    # before the U-turn dot products (momenta are stored
+                    # unsigned, so only dq needs the sign).
+                    dq = direction * (q1 - ck_q[a_slot])
+                    t = is_turn_dq(dq, ck_p[a_slot], p1)
                     return j + 1, turning | (aligned & t)
 
                 def check_cond(carry):
@@ -208,6 +220,7 @@ def kernel(log_posterior: Callable, eps, max_depth: int = 10, mass=None):
             log_prob=final.prop_lp,
             grad=final.prop_g,
             accepted=state.accepted + moved.astype(jnp.int32),
+            depth=final.depth,
         )
 
     return step

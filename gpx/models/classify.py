@@ -142,6 +142,41 @@ def fit(
     )
 
 
+def latent_predict(fitres: LaplaceFit, x, kernels, xs):
+    """Latent softmax-Laplace predictive moments at test locations — the
+    mean/covariance half of GPML Algorithm 3.4 (Classify.scala:150-152 left
+    it ``???``). Returns ``mu (C, M)`` and the per-test-point cross-class
+    covariance ``sigma (M, C, C)``."""
+    x = as_locations(x)
+    xs = as_locations(xs)
+    c = fitres.f.shape[0]
+    if not isinstance(kernels, (list, tuple)):
+        kernels = [kernels] * c
+    kxs = jnp.stack([gram(kern, x, xs) for kern in kernels])     # (C, N, M)
+    kss = jnp.stack(
+        [kern.diag(xs, dtype=fitres.f.dtype) for kern in kernels]
+    )                                                            # (C, M)
+
+    diff = fitres.y_onehot - fitres.pi                           # (C, N)
+    mu = jnp.einsum("cn,cnm->cm", diff, kxs)                     # (C, M)
+
+    b = jnp.einsum("cij,cjm->cim", fitres.e, kxs)                # (C, N, M)
+    # Solve (sum_c E_c)^{-1} b_d PER CLASS (one batched trsm over the C*M
+    # columns): Sigma*_{cd} = b_c^T (sum E)^{-1} b_d + delta_cd (kss - b_c^T k*_c).
+    # Summing b over classes before the solve collapses the class axis and
+    # cancels the -b^T k* term, inflating latent variance to the prior's
+    # (ADVICE r1, high).
+    n, m = b.shape[1], b.shape[2]
+    sol = _back_then_forward(
+        fitres.m_chol, jnp.moveaxis(b, 1, 0).reshape(n, c * m)
+    )
+    sol = jnp.moveaxis(sol.reshape(n, c, m), 0, 1)               # (C, N, M)
+    sigma = jnp.einsum("cim,dim->mcd", b, sol)                   # (M, C, C)
+    diag_term = kss.T - jnp.einsum("cim,cim->mc", b, kxs)        # (M, C)
+    sigma = sigma + jax.vmap(jnp.diag)(diag_term)
+    return mu, sigma
+
+
 def predict(
     key,
     fitres: LaplaceFit,
@@ -158,28 +193,8 @@ def predict(
     Monte-Carlo softmax integration over the Gaussian latent posterior at
     each test point. Returns (M, C) probabilities.
     """
-    x = as_locations(x)
-    xs = as_locations(xs)
+    mu, sigma = latent_predict(fitres, x, kernels, xs)
     c = fitres.f.shape[0]
-    if not isinstance(kernels, (list, tuple)):
-        kernels = [kernels] * c
-    kxs = jnp.stack([gram(kern, x, xs) for kern in kernels])     # (C, N, M)
-    kss = jnp.stack(
-        [kern.diag(xs, dtype=fitres.f.dtype) for kern in kernels]
-    )                                                            # (C, M)
-
-    diff = fitres.y_onehot - fitres.pi                           # (C, N)
-    mu = jnp.einsum("cn,cnm->cm", diff, kxs)                     # (C, M)
-
-    b = jnp.einsum("cij,cjm->cim", fitres.e, kxs)                # (C, N, M)
-    rb = jnp.sum(b, axis=0)                                      # (N, M)
-    sol = _back_then_forward(fitres.m_chol, rb)                  # (N, M)
-    cc = jnp.einsum("cij,jm->cim", fitres.e, sol)                # (C, N, M)
-
-    # Sigma*_{cc'} = c_c^T k*_c' + delta_cc'(k_c(s,s) - b_c^T k*_c)
-    sigma = jnp.einsum("cim,dim->mcd", cc, kxs)                  # (M, C, C)
-    diag_term = kss.T - jnp.einsum("cim,cim->mc", b, kxs)        # (M, C)
-    sigma = sigma + jax.vmap(jnp.diag)(diag_term)
 
     def mc_one(k_i, mu_i, sigma_i):
         chol = jnp.linalg.cholesky(
@@ -189,5 +204,5 @@ def predict(
         fs = mu_i[None, :] + zs @ chol.T
         return jnp.mean(jax.nn.softmax(fs, axis=-1), axis=0)
 
-    keys = random.split(key, xs.shape[0])
+    keys = random.split(key, mu.shape[1])
     return jax.vmap(mc_one)(keys, mu.T, sigma)

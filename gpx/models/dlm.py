@@ -121,12 +121,17 @@ def kalman_filter(model: DLM, ys, v, w, m0, c0) -> FilterResult:
 
         mask = jnp.isfinite(y)                       # observed entries
         y0 = jnp.where(mask, y, 0.0)
-        # missing entries: zero their rows of F (no information) and give
-        # them unit pseudo-variance so Q stays invertible
+        # missing entries: zero their rows of F (no information), zero V's
+        # cross-covariances with them (otherwise a non-diagonal V — e.g. the
+        # DLM-GP path where V = K(x,x), FitDlmGp.scala:75 — couples missing
+        # pseudo-observations into the innovation solve instead of
+        # marginalizing them; ADVICE r1), and give them unit pseudo-variance
+        # so Q stays invertible
+        mvec = mask.astype(v_mat.dtype)
         f_eff = jnp.where(mask[:, None], f, 0.0)
+        v_eff = mvec[:, None] * v_mat * mvec[None, :] + jnp.diag(1.0 - mvec)
         fhat = f_eff @ a
-        q = f_eff @ r @ f_eff.T + v_mat
-        q = q + jnp.diag(jnp.where(mask, 0.0, 1.0))
+        q = f_eff @ r @ f_eff.T + v_eff
         e = jnp.where(mask, y0 - fhat, 0.0)
 
         q_chol = _chol_psd(q)
@@ -136,7 +141,7 @@ def kalman_filter(model: DLM, ys, v, w, m0, c0) -> FilterResult:
         # Joseph-form update: PSD by construction, where R - K F R cancels
         # catastrophically in f32 (many observations per step collapse C)
         ikf = jnp.eye(d_state, dtype=r.dtype) - k_gain @ f_eff
-        c = _sym(ikf @ r @ ikf.T + k_gain @ v_mat @ k_gain.T)
+        c = _sym(ikf @ r @ ikf.T + k_gain @ v_eff @ k_gain.T)
 
         u = jax.scipy.linalg.solve_triangular(q_chol, e, lower=True)
         n_obs = jnp.sum(mask)
@@ -303,8 +308,10 @@ def conjugate_filter(model: DLM, ys, w_star, m0, c0, prior_v: InverseGamma):
         mask = jnp.isfinite(y)
         f_eff = jnp.where(mask[:, None], f, 0.0)
         fhat = f_eff @ a
-        q = f_eff @ r @ f_eff.T + jnp.eye(d_obs, dtype=r.dtype)
-        q = q + jnp.diag(jnp.where(mask, 0.0, 1.0))
+        # scale-free V* = I is diagonal, so masking its cross-covariances is
+        # a no-op and the masked diagonal is exactly the unit pseudo-variance
+        v_star = jnp.eye(d_obs, dtype=r.dtype)
+        q = f_eff @ r @ f_eff.T + v_star
         e = jnp.where(mask, jnp.where(mask, y, 0.0) - fhat, 0.0)
 
         q_chol = _chol_psd(q)
@@ -312,11 +319,7 @@ def conjugate_filter(model: DLM, ys, w_star, m0, c0, prior_v: InverseGamma):
         sol = jax.scipy.linalg.cho_solve((q_chol, True), f_eff @ r)
         k_gain = sol.swapaxes(-1, -2)
         m = a + k_gain @ e
-        # Joseph-form update (PSD in f32; scale-free obs variance is
-        # I + the missing-entry pseudo-variance)
-        v_star = jnp.eye(d_obs, dtype=r.dtype) + jnp.diag(
-            jnp.where(mask, 0.0, 1.0)
-        )
+        # Joseph-form update (PSD in f32)
         ikf = jnp.eye(d_state, dtype=r.dtype) - k_gain @ f_eff
         c = _sym(ikf @ r @ ikf.T + k_gain @ v_star @ k_gain.T)
 

@@ -86,6 +86,52 @@ def test_three_class_2d(rng):
     assert np.asarray(probs).argmax(-1).tolist() == [0, 1, 2]
 
 
+def test_latent_predict_matches_direct_laplace(rng):
+    # Regression (ADVICE r1): the cross-class predictive covariance must be
+    # Sigma_cd = b_c^T (sum E)^{-1} b_d + delta_cd (kss - b_c^T k*_c), i.e.
+    # the (sum E)^{-1} solve applied PER class. Brute-force check against a
+    # direct dense inversion of the Laplace posterior over the full (C*N)
+    # latent vector: Sigma* = diag(kss) - Q^T (I + W K)^{-1} W Q.
+    c, n, m = 3, 12, 4
+    x = jnp.asarray(rng.normal(size=(n, 2)))
+    xs = jnp.asarray(rng.normal(size=(m, 2)))
+    y = jnp.asarray(rng.integers(0, c, size=n))
+    kerns = [se(1.5, 1.2), se(0.8, 2.0), se(2.0, 0.9)]
+    fitres = classify.fit(x, kerns, y, c)
+    mu, sigma = classify.latent_predict(fitres, x, kerns, xs)
+
+    k_full = np.zeros((c * n, c * n))
+    for ci in range(c):
+        k_full[ci * n:(ci + 1) * n, ci * n:(ci + 1) * n] = np.asarray(
+            fitres.k[ci]
+        )
+    pi = np.asarray(fitres.pi)                       # (C, N)
+    d = np.diag(pi.reshape(-1))
+    pimat = np.zeros((c * n, n))                     # stacked diag(pi_c)
+    for ci in range(c):
+        pimat[ci * n:(ci + 1) * n] = np.diag(pi[ci])
+    w = d - pimat @ pimat.T                          # softmax Hessian
+    minv = np.linalg.solve(np.eye(c * n) + w @ k_full, w)  # (K + W^-1)^-1
+
+    from gpx.ops.gram import gram as gram_fn
+
+    kxs = np.stack([np.asarray(gram_fn(kern, x, xs)) for kern in kerns])
+    kss = np.stack([np.asarray(kern.diag(xs, dtype=fitres.f.dtype))
+                    for kern in kerns])
+    for mi in range(m):
+        q = np.zeros((c * n, c))
+        for ci in range(c):
+            q[ci * n:(ci + 1) * n, ci] = kxs[ci, :, mi]
+        sigma_direct = np.diag(kss[:, mi]) - q.T @ minv @ q
+        np.testing.assert_allclose(
+            np.asarray(sigma[mi]), sigma_direct, atol=1e-6
+        )
+        mu_direct = np.einsum(
+            "cn,cn->c", np.asarray(fitres.y_onehot - fitres.pi), kxs[:, :, mi]
+        )
+        np.testing.assert_allclose(np.asarray(mu[:, mi]), mu_direct, atol=1e-8)
+
+
 def test_per_class_kernels(rng):
     x, y = _two_class_toy(rng)
     fitres = classify.fit(x, [se(2.0, 2.0), se(1.0, 3.0)], y, 2)

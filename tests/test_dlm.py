@@ -56,6 +56,56 @@ def test_kalman_filter_missing_data(rng):
     assert (np.diff(cs[10:20]) > 0).all()
 
 
+def test_kalman_filter_missing_data_full_v_marginalizes(rng):
+    # Regression (ADVICE r1): with a NON-diagonal V (the DLM-GP path sets
+    # V = K(x,x), FitDlmGp.scala:75), missing dimensions must be fully
+    # marginalized — V's cross-covariances between missing and observed
+    # entries must not leak into the innovation solve. Compare against a
+    # hand-rolled numpy filter that subsets F/V/y to the observed rows.
+    state = dlm.polynomial(2)
+    model = dlm.DLM(f=jnp.asarray(rng.normal(size=(3, 2))), g=state.g)
+    v_half = rng.normal(size=(3, 3))
+    v_np = v_half @ v_half.T + 0.5 * np.eye(3)       # dense SPD obs cov
+    w_np = np.diag([0.2, 0.05])
+    t = 30
+    ys = rng.normal(size=(t, 3)).astype(float)
+    miss = rng.random(size=(t, 3)) < 0.3
+    ys[miss] = np.nan
+    ys[5] = np.nan                                   # a fully-missing step
+
+    m0, c0 = jnp.zeros(2), jnp.eye(2) * 4.0
+    result = dlm.kalman_filter(
+        model, jnp.asarray(ys), jnp.asarray(v_np),
+        jnp.asarray(np.diag(w_np)), m0, c0,
+    )
+
+    f_np, g_np = np.asarray(model.f), np.asarray(model.g)
+    m, c = np.zeros(2), np.eye(2) * 4.0
+    ll = 0.0
+    for ti in range(t):
+        a = g_np @ m
+        r = g_np @ c @ g_np.T + w_np
+        obs = np.isfinite(ys[ti])
+        if obs.any():
+            fo = f_np[obs]
+            vo = v_np[np.ix_(obs, obs)]
+            e = ys[ti, obs] - fo @ a
+            q = fo @ r @ fo.T + vo
+            k = r @ fo.T @ np.linalg.inv(q)
+            m = a + k @ e
+            c = (np.eye(2) - k @ fo) @ r @ (np.eye(2) - k @ fo).T + k @ vo @ k.T
+            ll += -0.5 * (
+                e @ np.linalg.solve(q, e)
+                + np.linalg.slogdet(q)[1]
+                + obs.sum() * np.log(2 * np.pi)
+            )
+        else:
+            m, c = a, r
+        np.testing.assert_allclose(np.asarray(result.m[ti]), m, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(result.c[ti]), c, atol=1e-6)
+    np.testing.assert_allclose(float(result.log_likelihood), ll, rtol=1e-8)
+
+
 def test_ffbs_marginals_match_smoother(rng):
     model, v, w = _local_level()
     _, ys = _simulate_local_level(rng, t=40)

@@ -136,6 +136,28 @@ def test_nuts_recovers_gaussian_moments():
     assert float(result.accept_rate) > 0.8
 
 
+def test_nuts_backward_subtrees_grow():
+    # Regression (ADVICE r1): the subtree U-turn check compared checkpoints
+    # in generation order, so backward-built subtrees (direction = -1) saw a
+    # time-reversed dq and nearly every backward doubling flagged turning.
+    # With the direction-aware check, trajectories on a smooth target with a
+    # small step size must reach substantial depths regardless of the
+    # (random) doubling directions.
+    from gpx.infer import nuts
+
+    logpost = _std_normal_logpost()
+    step = nuts.kernel(logpost, eps=0.1, max_depth=8)
+    result = base.sample(
+        step, nuts.init(jnp.zeros(2), logpost), jax.random.PRNGKey(30), 200,
+        collect=lambda s: s.depth,
+    )
+    depths = np.asarray(result.samples)
+    # optimal integration time ~pi => ~31 leapfrogs => depth ~5; the buggy
+    # check capped roughly half of all transitions at depth 1.
+    assert depths.mean() > 3.5, depths.mean()
+    assert (depths <= 1).mean() < 0.1, (depths <= 1).mean()
+
+
 def test_nuts_correlated_target():
     from gpx.infer import nuts
 
