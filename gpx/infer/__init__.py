@@ -11,6 +11,7 @@ from gpx.infer.mcmc import (
     sample_hmc,
     sample_mh,
     sample_mh_within_gibbs,
+    sample_nuts,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "sample_hmc",
     "sample_mh",
     "sample_mh_within_gibbs",
+    "sample_nuts",
 ]

@@ -20,6 +20,7 @@ from jax import random
 from gpx import params as gparams
 from gpx.distributions import Normal
 from gpx.infer import base, dual_averaging, ehmc as ehmc_mod, gibbs, hmc, mh
+from gpx.infer import nuts as nuts_mod
 from gpx.models import gp
 from gpx.params import Parameters
 from gpx.utils.pytree import tree_replace
@@ -200,7 +201,7 @@ def sample_ehmc(
     *,
     l0: int = 10,
     warmup_iters: int = 500,
-    k: int = 500,
+    k: int = 2000,
     l_max: int = 256,
     n_chains: int = 4,
     burn_in: int = 0,
@@ -209,7 +210,10 @@ def sample_ehmc(
     init_jitter: float = 0.1,
 ) -> PosteriorSamples:
     """Empirical HMC — the rebuild of ``KernelParameters.sampleEhmc``
-    (KernelParameters.scala:169-198), whole pipeline vmapped per chain."""
+    (KernelParameters.scala:169-198), whole pipeline vmapped per chain.
+    ``k`` (size of the empirical U-turn-length distribution) defaults to the
+    reference's 2000 (Ehmc.scala:95); each warmup length measurement costs a
+    full trajectory of logML+grad evals, so lower it for quick runs."""
     log_density = _gp_log_density(x, y, log_prior, nugget)
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
@@ -235,6 +239,61 @@ def sample_ehmc(
     result, extras = jax.vmap(run_one)(random.split(k_run, n_chains), inits)
     return _package(
         template, template.bijectors(), unravel, result.samples,
+        result.accept_rate, extras,
+    )
+
+
+def sample_nuts(
+    key,
+    x,
+    y,
+    template: Parameters,
+    log_prior: Callable[[Parameters], jnp.ndarray],
+    n_samples: int,
+    *,
+    max_depth: int = 8,
+    eps: float | None = None,
+    warmup_iters: int = 500,
+    n_chains: int = 4,
+    burn_in: int = 0,
+    thin: int = 1,
+    nugget: float = gp.LOGML_NUGGET,
+    init_jitter: float = 0.1,
+) -> PosteriorSamples:
+    """No-U-Turn sampling over all hyperparameters — the flagship sampler,
+    beyond the reference (whose answer to path-length tuning is empirical
+    HMC, KernelParameters.sampleEhmc / Ehmc.scala:101-123). Per chain:
+    find-reasonable-epsilon + dual-averaging warmup (when ``eps`` is None),
+    then iterative multinomial NUTS (gpx.infer.nuts); chains are vmapped
+    with independent keys and over-dispersed starts. Extras report the
+    adapted ``eps`` and per-draw tree ``depth``."""
+    log_density = _gp_log_density(x, y, log_prior, nugget)
+    logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
+        log_density, template
+    )
+    k_init, k_run = random.split(key)
+    inits = _disperse(k_init, flat0, n_chains, init_jitter)
+
+    def run_one(kk, q0):
+        return nuts_mod.sample(
+            logpost,
+            q0,
+            kk,
+            n_samples,
+            max_depth=max_depth,
+            eps=eps,
+            warmup_iters=warmup_iters,
+            burn_in=burn_in,
+            thin=thin,
+            collect=lambda s: (s.position, s.depth),
+        )
+
+    (result, extras) = jax.vmap(run_one)(random.split(k_run, n_chains), inits)
+    positions, depths = result.samples
+    result = result._replace(samples=positions)
+    extras = dict(extras, depth=depths)
+    return _package(
+        template, template.bijectors(), unravel, positions,
         result.accept_rate, extras,
     )
 

@@ -134,16 +134,20 @@ class SquaredExponential(Kernel):
 
 @pytree_dataclass(meta_fields=("nu",))
 class Matern(Kernel):
-    """Matérn kernel, correct closed form for half-integer ``nu``.
+    """Matérn kernel for any ``nu > 0``.
 
+    Half-integer ``nu = p + 1/2`` uses the exact closed form
     ``k(d) = sigma * exp(-s) * (p! / (2p)!) * sum_i C(p,i) (p+i)!/p! (2s)^(p-i)``
-    with ``s = sqrt(2 nu) d / l`` and ``nu = p + 1/2``. Replaces the
-    reference's incorrect Bessel-I0 formula (KernelFunction.scala:22-28).
-    ``sigma`` is the amplitude multiplier to match the reference's
-    parameterization; ``nu`` is static (part of model structure), unlike the
-    reference where it sits in the flat parameter vector but whose
-    constrain/unconstrain then throw (KernelParameters.scala:254,263) —
-    making it un-inferable there anyway.
+    with ``s = sqrt(2 nu) d / l``; general ``nu`` evaluates the full
+    ``sigma * 2^{1-nu}/Gamma(nu) * s^nu K_nu(s)`` via the JAX-native Bessel
+    ``K_nu`` (gpx.ops.besselk, <= 1e-12 vs scipy in f64). This supersedes the
+    reference, whose Matérn math is wrong — it calls the modified Bessel
+    function of the *first* kind ``i0`` regardless of order
+    (KernelFunction.scala:22-28). ``sigma`` is the amplitude multiplier to
+    match the reference's parameterization; ``nu`` is static (part of model
+    structure), unlike the reference where it sits in the flat parameter
+    vector but whose constrain/unconstrain then throw
+    (KernelParameters.scala:254,263) — making it un-inferable there anyway.
     """
 
     sigma: jnp.ndarray
@@ -151,26 +155,37 @@ class Matern(Kernel):
     nu: float = 1.5
 
     def __post_init__(self):
+        if self.nu <= 0:
+            raise ValueError(f"Matern needs nu > 0; got nu={self.nu}")
+
+    @property
+    def _half_integer_p(self):
         p = self.nu - 0.5
-        if abs(p - round(p)) > 1e-12 or self.nu <= 0:
-            raise NotImplementedError(
-                "Matern currently supports half-integer nu (1/2, 3/2, 5/2, ...); "
-                f"got nu={self.nu}. Use SquaredExponential for the nu->inf limit."
-            )
+        return int(round(p)) if abs(p - round(p)) < 1e-12 else None
 
     def evaluate_r2(self, r2):
-        p = int(round(self.nu - 0.5))
         d = jnp.sqrt(jnp.maximum(r2, 0.0))
         s = (math.sqrt(2.0 * self.nu) / self.l) * d
-        # poly = (p!/(2p)!) * sum_{i=0}^{p} (p+i)!/(i!(p-i)!) (2s)^{p-i}
-        scale = math.factorial(p) / math.factorial(2 * p)
-        poly = 0.0
-        for i in range(p + 1):
-            coeff = math.factorial(p + i) / (
-                math.factorial(i) * math.factorial(p - i)
-            )
-            poly = poly + coeff * (2.0 * s) ** (p - i)
-        return self.sigma * scale * poly * jnp.exp(-s)
+        p = self._half_integer_p
+        if p is not None:
+            # poly = (p!/(2p)!) * sum_{i=0}^{p} (p+i)!/(i!(p-i)!) (2s)^{p-i}
+            scale = math.factorial(p) / math.factorial(2 * p)
+            poly = 0.0
+            for i in range(p + 1):
+                coeff = math.factorial(p + i) / (
+                    math.factorial(i) * math.factorial(p - i)
+                )
+                poly = poly + coeff * (2.0 * s) ** (p - i)
+            return self.sigma * scale * poly * jnp.exp(-s)
+        from gpx.ops.besselk import kv
+
+        # guard s = 0 (k -> sigma there) with the double-where trick so the
+        # s^nu * K_nu(s) branch can't NaN the value or the gradient
+        zero = r2 <= 0.0
+        s_safe = jnp.where(zero, jnp.ones_like(s), s)
+        const = 2.0 ** (1.0 - self.nu) / math.gamma(self.nu)
+        val = const * s_safe**self.nu * kv(self.nu, s_safe)
+        return self.sigma * jnp.where(zero, jnp.ones_like(val), val)
 
     def bijectors(self):
         return Matern(sigma=bij.positive, l=bij.positive, nu=self.nu)

