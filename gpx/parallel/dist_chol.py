@@ -130,14 +130,19 @@ def distributed_forward_solve(l_sharded, b, mesh: Mesh, *, axis: str = "data",
         # residual z for OWNED rows; u assembled replicated panel by panel
         z_loc = lax.dynamic_slice_in_dim(b_rep, row0, rows_per, 0)
         u = jnp.zeros((n,), l_loc.dtype)
+        eye = jnp.eye(panel, dtype=l_loc.dtype)
         for p in range(n_panels):
             s = p * panel
             owner = p // panels_per_dev
             local_off = (p % panels_per_dev) * panel
-            # every chip solves its candidate block (garbage off-owner)
+            # every chip solves its candidate block; off-owner blocks can be
+            # singular (zeroed upper triangle), and although the result is
+            # masked out below, inf/NaN primals would poison reverse-mode AD
+            # through solve_triangular — substitute the identity off-owner
             l_pp = lax.dynamic_slice(
                 l_loc, (local_off, s), (panel, panel)
             )
+            l_pp = jnp.where(my == owner, l_pp, eye)
             z_p = lax.dynamic_slice_in_dim(z_loc, local_off, panel, 0)
             cand = solve_triangular(l_pp, z_p, lower=True)
             u_p = lax.psum(
@@ -150,6 +155,194 @@ def distributed_forward_solve(l_sharded, b, mesh: Mesh, *, axis: str = "data",
         return u
 
     return solve(l_sharded, b)
+
+
+def distributed_back_solve(l_sharded, b, mesh: Mesh, *, axis: str = "data",
+                           panel: int = 128):
+    """Solve ``L^T a = b`` with L row-sharded (replicated ``b``), reverse
+    panel sweep. Per panel: one ``psum`` of the solved ``panel`` block plus
+    one ``psum`` of the owner's length-``n`` residual update (the owner's
+    row block of L is exactly the column block of ``L^T`` it needs — no
+    matrix data ever moves). Returns the replicated solution.
+
+    Completes the triangular-solve pair (the ``Mcmc.backSolve`` capability,
+    Mcmc.scala:35-58, at mesh scale) so ``alpha = K^{-1} r`` runs fully
+    distributed."""
+    n = l_sharded.shape[-1]
+    d = mesh.shape[axis]
+    rows_per = n // d
+    if rows_per % panel:
+        raise ValueError("panel must divide the per-device row count")
+    n_panels = n // panel
+    panels_per_dev = rows_per // panel
+    col_idx = jnp.arange(n)
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P()
+    )
+    def solve(l_loc, b_rep):
+        my = lax.axis_index(axis)
+        z = b_rep                                  # replicated residual
+        a = jnp.zeros((n,), l_loc.dtype)
+        eye = jnp.eye(panel, dtype=l_loc.dtype)
+        for p in reversed(range(n_panels)):
+            s = p * panel
+            owner = p // panels_per_dev
+            local_off = (p % panels_per_dev) * panel
+            # identity off-owner: see distributed_forward_solve (AD safety)
+            l_pp = lax.dynamic_slice(l_loc, (local_off, s), (panel, panel))
+            l_pp = jnp.where(my == owner, l_pp, eye)
+            z_p = lax.dynamic_slice_in_dim(z, s, panel, 0)
+            cand = solve_triangular(l_pp.T, z_p, lower=False)
+            a_p = lax.psum(
+                jnp.where(my == owner, cand, jnp.zeros_like(cand)), axis
+            )
+            a = lax.dynamic_update_slice_in_dim(a, a_p, s, 0)
+            # z_j -= sum_{i in panel} L[i, j] a_i for j < s: the owner's
+            # local rows of panel p against all earlier columns
+            rows_block = lax.dynamic_slice(l_loc, (local_off, 0), (panel, n))
+            upd = rows_block.T @ a_p
+            upd = lax.psum(
+                jnp.where(my == owner, upd, jnp.zeros_like(upd)), axis
+            )
+            z = z - jnp.where(col_idx < s, upd, 0.0)
+        return a
+
+    return solve(l_sharded, b)
+
+
+def distributed_forward_solve_cols(l_sharded, b_sharded, mesh: Mesh, *,
+                                   axis: str = "data", panel: int = 128):
+    """Solve ``L A = B`` with both L and the (n, m) RHS row-sharded; the
+    solution comes back row-sharded too (no chip ever holds a full (n, m)
+    array). Per panel: one ``psum`` of the solved ``(panel, m)`` block —
+    total ICI traffic n*m floats for the whole solve."""
+    n = l_sharded.shape[-1]
+    m = b_sharded.shape[-1]
+    d = mesh.shape[axis]
+    rows_per = n // d
+    if rows_per % panel:
+        raise ValueError("panel must divide the per-device row count")
+    n_panels = n // panel
+    panels_per_dev = rows_per // panel
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)), out_specs=P(axis, None),
+    )
+    def solve(l_loc, b_loc):
+        my = lax.axis_index(axis)
+        z_loc = b_loc                              # (rows_per, m) residual
+        a_loc = jnp.zeros((rows_per, m), l_loc.dtype)
+        eye = jnp.eye(panel, dtype=l_loc.dtype)
+        for p in range(n_panels):
+            s = p * panel
+            owner = p // panels_per_dev
+            local_off = (p % panels_per_dev) * panel
+            # identity off-owner: see distributed_forward_solve (AD safety)
+            l_pp = lax.dynamic_slice(l_loc, (local_off, s), (panel, panel))
+            l_pp = jnp.where(my == owner, l_pp, eye)
+            z_p = lax.dynamic_slice(z_loc, (local_off, 0), (panel, m))
+            cand = solve_triangular(l_pp, z_p, lower=True)
+            u_p = lax.psum(
+                jnp.where(my == owner, cand, jnp.zeros_like(cand)), axis
+            )
+            a_new = lax.dynamic_update_slice(a_loc, u_p, (local_off, 0))
+            a_loc = jnp.where(my == owner, a_new, a_loc)
+            cols = lax.dynamic_slice(l_loc, (0, s), (rows_per, panel))
+            z_loc = z_loc - cols @ u_p
+        return a_loc
+
+    return solve(l_sharded, b_sharded)
+
+
+def sharded_cross_gram(kernel, x, xs, mesh: Mesh, *, axis: str = "data"):
+    """Cross-covariance ``K(x, xs)`` row-sharded over the training axis —
+    the distributed ``buildDistCov`` (KernelFunction.scala:94-109, whose
+    row-0 bug SURVEY.md §7 documents)."""
+    from gpx.ops.distance import as_locations
+
+    x = as_locations(x)
+    xs = as_locations(xs)
+    d = mesh.shape[axis]
+    rows_per = x.shape[0] // d
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(axis, None), P(None, None)),
+        out_specs=P(axis, None),
+    )
+    def build(x_blk, xs_rep):
+        return kernel.gram(x_blk, xs_rep, method="xla")
+
+    return build(x, xs)
+
+
+def distributed_predict(params, x, y, xs, mesh: Mesh, *, axis: str = "data",
+                        nugget: float = 1e-6, panel: int = 128):
+    """GP posterior at ``xs`` with every O(N^2) object row-sharded: Gram,
+    factor, cross-covariance and the trsm'd ``A = L^{-1} K(x, xs)`` — no
+    chip holds an (N, N) or full (N, M) array, replacing sharded_predict's
+    full-L broadcast (gpx/parallel/sharded.py) at memory scale. Rebuilds
+    Predict.fit (Predict.scala:57-94) as: distributed Cholesky ->
+    distributed alpha (forward + backward vector solves) -> mean via psum'd
+    partial products -> variance via the row-sharded column solve."""
+    from gpx.models import gp
+    from gpx.ops.distance import as_locations
+    from gpx.parallel.sharded import sharded_gram
+
+    x = as_locations(x)
+    xs = as_locations(xs)
+    n = x.shape[0]
+    d = mesh.shape[axis]
+    rows_per = n // d
+
+    k = sharded_gram(params.kernel, x, mesh, nugget=nugget, axes=(axis, None))
+    l = distributed_cholesky(k, mesh, axis=axis, panel=panel)
+    u = distributed_forward_solve(
+        l, y - params.mean(x), mesh, axis=axis, panel=panel
+    )
+    alpha = distributed_back_solve(l, u, mesh, axis=axis, panel=panel)
+
+    kxs = sharded_cross_gram(params.kernel, x, xs, mesh, axis=axis)
+    a = distributed_forward_solve_cols(l, kxs, mesh, axis=axis, panel=panel)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P()), out_specs=(P(), P()),
+    )
+    def moments(kxs_loc, a_loc, alpha_rep):
+        my = lax.axis_index(axis)
+        alpha_loc = lax.dynamic_slice_in_dim(
+            alpha_rep, my * rows_per, rows_per, 0
+        )
+        mean_part = lax.psum(kxs_loc.T @ alpha_loc, axis)
+        var_red = lax.psum(jnp.sum(a_loc * a_loc, axis=0), axis)
+        return mean_part, var_red
+
+    mean_part, var_red = moments(kxs, a, alpha)
+    mean = params.mean(xs) + mean_part
+    kss = params.kernel.diag(xs, dtype=mean.dtype)
+    var = jnp.maximum(kss - var_red, 0.0)
+    return gp.PosteriorSummary(x=xs, mean=mean, variance=var)
+
+
+def distributed_logml_value_and_grad(params, x, y, mesh: Mesh, *,
+                                     axis: str = "data", nugget: float = 1e-3,
+                                     panel: int = 128):
+    """Value AND hyperparameter gradient of the distributed logML — the
+    north-star quantity (SURVEY.md §3.3) with K and L row-sharded end to
+    end. Autodiff through the sharded factorization: the VJP of each
+    panel's ``all_gather`` is a reduce-scatter and of each ``psum`` a
+    broadcast, so the backward pass rides ICI exactly like the forward
+    (no gather of K anywhere). Runs under ``jit``: eager shard_map
+    transposition trips a sharding-override assertion in jax 0.9."""
+    return jax.jit(
+        jax.value_and_grad(
+            lambda p: distributed_logml(
+                p, x, y, mesh, axis=axis, nugget=nugget, panel=panel
+            )
+        )
+    )(params)
 
 
 def distributed_logml(params, x, y, mesh: Mesh, *, axis: str = "data",

@@ -10,10 +10,14 @@ from gpx import Parameters, se, white, zero
 from gpx.models import gp
 from gpx.parallel import make_mesh
 from gpx.parallel.dist_chol import (
+    distributed_back_solve,
     distributed_cholesky,
     distributed_forward_solve,
+    distributed_forward_solve_cols,
     distributed_half_logdet,
     distributed_logml,
+    distributed_logml_value_and_grad,
+    distributed_predict,
 )
 
 from .util import random_locations, symmetric_pos_def
@@ -64,3 +68,62 @@ def test_distributed_logml_matches_local(rng):
     got = distributed_logml(p, x, y, mesh, panel=32)
     want = gp.log_marginal_likelihood(p, x, y)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-9)
+
+
+def test_distributed_back_solve(rng):
+    mesh = make_mesh(data=8)
+    n = 256
+    k = jnp.asarray(symmetric_pos_def(rng, n, 50.0))
+    b = jnp.asarray(rng.normal(size=n))
+    l_dist = distributed_cholesky(k, mesh, panel=32)
+    a = distributed_back_solve(l_dist, b, mesh, panel=32)
+    l_local = np.linalg.cholesky(np.asarray(k))
+    want = np.linalg.solve(l_local.T, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(a), want, atol=1e-8)
+
+
+def test_distributed_forward_solve_cols(rng):
+    mesh = make_mesh(data=8)
+    n, m = 256, 48
+    k = jnp.asarray(symmetric_pos_def(rng, n, 50.0))
+    b = jnp.asarray(rng.normal(size=(n, m)))
+    l_dist = distributed_cholesky(k, mesh, panel=32)
+    a = distributed_forward_solve_cols(l_dist, b, mesh, panel=32)
+    l_local = np.linalg.cholesky(np.asarray(k))
+    want = np.linalg.solve(l_local, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(a), want, atol=1e-8)
+
+
+def test_distributed_logml_gradient_matches_local(rng):
+    # VERDICT r1 item 3: the north-star quantity (value AND grad) with K, L
+    # row-sharded — must match the single-device value_and_grad
+    mesh = make_mesh(data=8)
+    n = 256
+    x = jnp.asarray(random_locations(rng, n, 1, scale=5.0))
+    p = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    y = jnp.asarray(rng.normal(size=n))
+    got_v, got_g = distributed_logml_value_and_grad(p, x, y, mesh, panel=32)
+    want_v, want_g = gp.logml_value_and_grad(p, x, y, method="autodiff")
+    np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-9)
+    for leaf_got, leaf_want in zip(
+        jax.tree_util.tree_leaves(got_g), jax.tree_util.tree_leaves(want_g)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(leaf_got), np.asarray(leaf_want), rtol=1e-7, atol=1e-9
+        )
+
+
+def test_distributed_predict_matches_local(rng):
+    # VERDICT r1 item 7: multi-chip prediction without full-L replication
+    mesh = make_mesh(data=8)
+    n, m = 256, 64
+    x = jnp.asarray(random_locations(rng, n, 1, scale=5.0))
+    p = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    y = jnp.asarray(rng.normal(size=n))
+    xs = jnp.asarray(np.linspace(-5, 5, m)[:, None])
+    got = distributed_predict(p, x, y, xs, mesh, panel=32)
+    want = gp.fit(p, x, y, xs)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.variance),
+                               np.asarray(want.variance), atol=1e-8)
