@@ -149,46 +149,71 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
         lambda kern: gram_of(kern, x, nugget), params.kernel
     )
     mean_val, mean_vjp = jax.vjp(lambda m: m(x), params.mean)
-    l = cholesky(k_val)
     r = y - mean_val
 
     fused = (jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096
              and params.kernel.is_stationary)
     if fused:
-        # the gradient needs L^{-1} anyway, so compute alpha with dense
-        # matvecs against it (XLA's trsv is latency-bound: ~33 ms each at
-        # N=16k vs ~1.5 ms per matvec) — PLUS one step of iterative
-        # refinement: the explicit inverse alone is backward-unstable
-        # (alpha error ~1e-3 relative on 16k SE Grams), and one K-matvec
-        # correction restores trsv-level accuracy for ~4 ms.
-        l_inv = tri_inverse_lower(l)
+        # Factor + invert in one Pallas-backed recursion when the shape
+        # allows (power-of-2 N): chol_inv runs the whole O(N^3) bulk at
+        # bf16x3 on the MXU — measured ~2x XLA's f32 Cholesky + blocked
+        # tri-inverse at N=16k. The gradient needs L^{-1} anyway; alpha
+        # comes from dense matvecs against it (XLA's trsv is latency-bound:
+        # ~33 ms each at N=16k vs ~1.5 ms per matvec) — PLUS one step of
+        # iterative refinement: the explicit inverse alone is backward-
+        # unstable (alpha error ~1e-3 relative on 16k SE Grams), and one
+        # K-matvec correction restores trsv-level accuracy for ~4 ms.
+        if n & (n - 1) == 0:
+            from gpx.ops.pallas_chol import chol_inv
+
+            l, l_inv = chol_inv(k_val)
+        else:
+            l = cholesky(k_val)
+            l_inv = tri_inverse_lower(l)
         alpha0 = l_inv.T @ (l_inv @ r)
         resid1 = r - k_val @ alpha0
         alpha = alpha0 + l_inv.T @ (l_inv @ resid1)
         quad = r @ alpha
     else:
+        l = cholesky(k_val)
         u = forward_solve(l, r)
         alpha = back_solve(l.T, u)
         quad = u @ u
-
-    value = (
-        -0.5 * quad
-        - jnp.sum(jnp.log(jnp.diagonal(l)))
-        - 0.5 * n * jnp.log(2.0 * jnp.pi)
-    )
 
     if fused:
         # fully fused path: K^{-1}/W never materialize; lower-triangle-only
         # accumulation costs N^3/6 MACs (gpx.ops.pallas_logml_grad)
         from gpx.ops.pallas_logml_grad import logml_kernel_grads
 
-        d_kernel = logml_kernel_grads(params.kernel, x, alpha, l_inv)
+        d_kernel, (tkw, trw) = logml_kernel_grads(
+            params.kernel, x, alpha, l_inv, with_correction=True
+        )
         d_kernel = jax.tree_util.tree_map(
             lambda leaf, g: g.astype(jnp.result_type(leaf)),
             params.kernel,
             d_kernel,
         )
+        # First-order logdet correction: with W_hat = l_inv^T l_inv,
+        # logdet K = -2 sum log diag(l_inv) + (tr(W_hat K) - n) + O(||E||^2)
+        # for E = W_hat K - I — exact to second order in the factorization
+        # error, so the *value* keeps f64-grade accuracy even though the
+        # f32/bf16x3 Cholesky itself loses eps*cond(K) (measured: 2.9e-2
+        # relative at N=16k, cond ~1e5, without the correction).
+        # tr(W_hat K) = tkw + nugget * trw (the fused kernel evaluates K
+        # without the nugget).
+        half_logdet = -jnp.sum(jnp.log(jnp.diagonal(l_inv))) + 0.5 * (
+            tkw + nugget * trw - n
+        )
     else:
+        half_logdet = jnp.sum(jnp.log(jnp.diagonal(l)))
+
+    value = (
+        -0.5 * quad
+        - half_logdet
+        - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    )
+
+    if not fused:
         # XLA path: explicit K^{-1} (blocked triangular inversion + syrk —
         # XLA's trsm against an identity RHS OOMs at N=16k) and one gram VJP
         k_inv = spd_inverse_from_chol(l)
@@ -225,9 +250,40 @@ def fit(
     xs = as_locations(xs)
     n, m = x.shape[0], xs.shape[0]
     kxx = params.kernel.gram(x, nugget=nugget)
-    l = cholesky(kxx)
-
     kxs = params.kernel.gram(x, xs)            # (N, M) cross-covariance
+
+    fused = (
+        jax.default_backend() == "tpu"
+        and n >= 4096
+        and (n & (n - 1)) == 0
+        and params.kernel.is_stationary
+        and not full_cov
+    )
+    if fused:
+        # Pallas route: one chol_inv gives the factor AND its inverse, so
+        # the wide trsm for the variance becomes a triangular-aware bf16x3
+        # matmul (measured 443 -> ~210 ms at N=M=16k). Mean still goes
+        # through refined alpha — the explicit-inverse mean alone is
+        # backward-UNSTABLE (measured 200% error vs f64 at N=16k); the
+        # variance is a norm, not a cancellation-critical solve, so the
+        # ~1e-2-relative bf16x3 inverse error is benign there (clamped at 0).
+        from gpx.ops.pallas_chol import chol_inv
+        from gpx.ops.pallas_trmm import trmm
+
+        l, l_inv = chol_inv(kxx)
+        r = y - params.mean(x)
+        alpha0 = l_inv.T @ (l_inv @ r)
+        alpha = alpha0 + l_inv.T @ (l_inv @ (r - kxx @ alpha0))
+        mean = params.mean(xs) + kxs.T @ alpha
+
+        pad = (-m) % 512
+        kxs_p = jnp.pad(kxs, ((0, 0), (0, pad)))
+        a = trmm(kxs_p, l_inv, mode="left_lower")[:, :m]
+        kss_diag = params.kernel.diag(xs, dtype=mean.dtype)
+        var = jnp.maximum(kss_diag - jnp.sum(a * a, axis=0), 0.0)
+        return PosteriorSummary(x=xs, mean=mean, variance=var)
+
+    l = cholesky(kxx)
     # mean via alpha = K^{-1}(y - m): two backward-stable vector solves and
     # one MXU matmul — O(N^2 + N M) for ANY number of test points. (An
     # explicit L^{-1} matmul is faster still but backward-UNSTABLE: measured

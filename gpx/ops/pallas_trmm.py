@@ -6,11 +6,20 @@ FLOPs in ``B @ L`` / ``L @ B`` products where ``L`` is lower-triangular —
 XLA multiplies them densely, wasting ~2x MACs and the matching DMA on the
 zero triangle. These kernels walk a 1-D grid of scalar-prefetched (i, j, k)
 tiles covering only the nonzero contraction range (the same schedule trick
-as gpx.ops.pallas_logml_grad), at HIGHEST MXU precision.
+as gpx.ops.pallas_logml_grad), at bf16x3 split precision (~1.5e-5, 3 MXU
+passes — see ``_dot_bf16x3``).
 
 Modes:
-* ``right_lower``: ``C = B @ L``  -> C_ij = sum_{k >= j} B_ik L_kj
-* ``left_lower`` : ``C = L @ B``  -> C_ij = sum_{k <= i} L_ik B_kj
+* ``right_lower``  : ``C = B @ L``   -> C_ij = sum_{k >= j} B_ik L_kj
+* ``left_lower``   : ``C = L @ B``   -> C_ij = sum_{k <= i} L_ik B_kj
+* ``right_lower_t``: ``C = B @ L^T`` -> C_ij = sum_{k <= j} B_ik L_jk
+
+``syrk_lower`` computes ``A - B @ B^T`` on the lower-triangle tiles only
+(upper tiles of the output are NOT written — callers must consume the lower
+triangle only). Together these are the O(N^3) building blocks of the
+blocked Cholesky-and-inverse recursion (gpx.ops.pallas_chol.chol_inv), the
+TPU rebuild of LAPACK dpotrf/dtrtri (GaussianProcess.scala:123,
+Predict.scala:69, Mcmc.scala:55).
 """
 
 from __future__ import annotations
@@ -37,8 +46,15 @@ def _body(*refs, mode, bt, nb):
     j = jj_ref[s]
     k = kk_ref[s]
 
-    first_k = j if mode == "right_lower" else 0
-    last_k = (nb - 1) if mode == "right_lower" else i
+    if mode == "right_lower":
+        first_k, last_k = j, nb - 1
+        dn = (((1,), (0,)), ((), ()))
+    elif mode == "left_lower":
+        first_k, last_k = 0, i
+        dn = (((1,), (0,)), ((), ()))
+    else:  # right_lower_t: contract B's dim 1 with L's dim 1
+        first_k, last_k = 0, j
+        dn = (((1,), (1,)), ((), ()))
 
     @pl.when(k == first_k)
     def _init():
@@ -47,7 +63,7 @@ def _body(*refs, mode, bt, nb):
     # manual bf16x3 split product: ~f32-faithful at 3 MXU passes (Mosaic
     # exposes only DEFAULT=1-pass-lossy and HIGHEST=6-pass; the 6-pass cost
     # cancels the active-tile MAC savings — measured)
-    acc[:] += _dot_bf16x3(a_ref[:], b_ref[:])
+    acc[:] += _dot_bf16x3(a_ref[:], b_ref[:], dn=dn)
 
     @pl.when(k == last_k)
     def _write():
@@ -67,11 +83,17 @@ def _dot_bf16x3(a, b, dn=(((1,), (0,)), ((), ()))):
     )
 
 
-def _schedule(nb: int, mode: str):
+def _schedule(nb: int, mode: str, mb: int | None = None):
+    mb = nb if mb is None else mb
     ii, jj, kk = [], [], []
     for i in range(nb):
-        for j in range(nb):
-            ks = range(j, nb) if mode == "right_lower" else range(0, i + 1)
+        for j in range(mb):
+            if mode == "right_lower":
+                ks = range(j, nb)
+            elif mode == "left_lower":
+                ks = range(0, i + 1)
+            else:  # right_lower_t
+                ks = range(0, j + 1)
             for k in ks:
                 ii.append(i)
                 jj.append(j)
@@ -84,20 +106,32 @@ def _schedule(nb: int, mode: str):
 
 
 def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False):
-    """``b @ l`` (mode="right_lower") or ``l @ b`` (mode="left_lower") with
-    ``l`` lower-triangular. Square f32 operands, n divisible by ``bt``."""
-    if mode not in ("right_lower", "left_lower"):
+    """``b @ l`` (mode="right_lower"), ``l @ b`` (mode="left_lower") or
+    ``b @ l.T`` (mode="right_lower_t") with ``l`` lower-triangular and
+    ``(n, n)``. ``b`` is ``(n, n)`` — or ``(n, m)`` in ``left_lower`` mode
+    (the prediction-path trsm replacement: ``L^{-1} @ Kxs``). All dims
+    divisible by ``bt``. Only the lower triangle of ``l`` is ever read."""
+    if mode not in ("right_lower", "left_lower", "right_lower_t"):
         raise ValueError(f"unknown trmm mode: {mode}")
-    n = b.shape[-1]
-    if b.shape != (n, n) or l.shape != (n, n) or n % bt:
-        raise ValueError(f"trmm needs square (n, n) operands with {bt} | n")
+    n = l.shape[-1]
+    m = b.shape[-1] if mode == "left_lower" else n
+    if (l.shape != (n, n) or b.shape != ((n, m) if mode == "left_lower"
+                                         else (n, n)) or n % bt or m % bt):
+        raise ValueError(
+            f"trmm {mode} needs l (n, n) and b {'(n, m)' if mode == 'left_lower' else '(n, n)'}"
+            f" with {bt} | dims, got l {l.shape}, b {b.shape}"
+        )
     nb = n // bt
-    ii, jj, kk = _schedule(nb, mode)
+    ii, jj, kk = _schedule(nb, mode, mb=m // bt)
     n_active = ii.shape[0]
 
-    # operand order inside the kernel is (A, B) for A @ B
-    first = b if mode == "right_lower" else l
-    second = l if mode == "right_lower" else b
+    # operand order inside the kernel is (A, B) for A @ B (or A @ B^T)
+    first = l if mode == "left_lower" else b
+    second = b if mode == "left_lower" else l
+    if mode == "right_lower_t":
+        second_map = lambda s, ii, jj, kk: (jj[s], kk[s])
+    else:
+        second_map = lambda s, ii, jj, kk: (kk[s], jj[s])
 
     body = functools.partial(_body, mode=mode, bt=bt, nb=nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -106,8 +140,7 @@ def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((bt, bt), lambda s, ii, jj, kk: (ii[s], kk[s]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, bt), lambda s, ii, jj, kk: (kk[s], jj[s]),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bt), second_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bt, bt), lambda s, ii, jj, kk: (ii[s], jj[s]),
@@ -118,6 +151,83 @@ def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False):
     return pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        # double-buffered (bt, bt) f32 pipeline buffers exceed the 16 MB
+        # default scoped-VMEM cap at bt = 1024 (measured compile OOM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(ii, jj, kk, jnp.asarray(first, jnp.float32), jnp.asarray(second, jnp.float32))
+
+
+def _syrk_body(ii_ref, jj_ref, kk_ref, a_ref, bi_ref, bj_ref, out_ref, acc,
+               *, nb):
+    s = pl.program_id(0)
+    k = kk_ref[s]
+
+    @pl.when(k == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += _dot_bf16x3(bi_ref[:], bj_ref[:], dn=(((1,), (1,)), ((), ())))
+
+    @pl.when(k == nb - 1)
+    def _write():
+        out_ref[:] = a_ref[:] - acc[:]
+
+
+def syrk_lower(a, b, *, bt: int = _BT, interpret: bool = False):
+    """``A - B @ B^T`` on the lower-triangle tiles only (bf16x3).
+
+    Upper-triangle tiles of the result are never visited and contain
+    garbage — callers must read the lower triangle only (the Cholesky
+    recursion in gpx.ops.pallas_chol does). ``A`` itself is only read on
+    its lower tiles. Saves half the MACs and DMA of the dense XLA syrk.
+    """
+    n = a.shape[-1]
+    if a.shape != (n, n) or b.shape != (n, n) or n % bt:
+        raise ValueError(f"syrk_lower needs square (n, n) operands, {bt} | n")
+    nb = n // bt
+    ii, jj, kk = [], [], []
+    for i in range(nb):
+        for j in range(i + 1):
+            for k in range(nb):
+                ii.append(i)
+                jj.append(j)
+                kk.append(k)
+    ii = jnp.asarray(np.asarray(ii, np.int32))
+    jj = jnp.asarray(np.asarray(jj, np.int32))
+    kk = jnp.asarray(np.asarray(kk, np.int32))
+
+    body = functools.partial(_syrk_body, nb=nb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(int(ii.shape[0]),),
+        in_specs=[
+            # A block index is constant over the k sweep -> fetched once
+            pl.BlockSpec((bt, bt), lambda s, ii, jj, kk: (ii[s], jj[s]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bt), lambda s, ii, jj, kk: (ii[s], kk[s]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bt), lambda s, ii, jj, kk: (jj[s], kk[s]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bt, bt), lambda s, ii, jj, kk: (ii[s], jj[s]),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((bt, bt), jnp.float32)],
+    )
+    b = jnp.asarray(b, jnp.float32)
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        # double-buffered (bt, bt) f32 pipeline buffers exceed the 16 MB
+        # default scoped-VMEM cap at bt = 1024 (measured compile OOM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(ii, jj, kk, jnp.asarray(a, jnp.float32), b, b)

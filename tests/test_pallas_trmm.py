@@ -22,6 +22,16 @@ def test_trmm_matches_dense(rng, mode):
     assert np.abs(got - want).max() < 3e-4 * max(scale, 1.0)
 
 
+def test_trmm_left_lower_rectangular_rhs(rng):
+    n, m = 256, 128
+    b = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    l = jnp.asarray(np.tril(rng.normal(size=(n, n))), jnp.float32)
+    got = np.asarray(trmm(b, l, mode="left_lower", bt=64, interpret=True))
+    want = np.asarray(l) @ np.asarray(b)
+    assert got.shape == (n, m)
+    assert np.abs(got - want).max() < 3e-4 * max(np.abs(want).max(), 1.0)
+
+
 def test_trmm_rejects_bad_shapes(rng):
     b = jnp.asarray(rng.normal(size=(100, 100)), jnp.float32)
     with pytest.raises(ValueError):
