@@ -34,9 +34,13 @@ mnist:
 test:
 	python -m pytest tests/ -q
 
+# compiled-mode Pallas regression tests on the real chip (skips off-TPU)
+test-tpu:
+	python -m pytest tests_tpu/ -q
+
 bench:
 	python bench.py
 
 .PHONY: simulated hmc_simulated posterior_predictive fit_temp_gp \
 	krig_temperature fit_temp_dlm forecast_temperature_dlm fit_dlm_gp \
-	mnist test bench
+	mnist test test-tpu bench

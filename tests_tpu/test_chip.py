@@ -1,0 +1,116 @@
+"""Compiled-mode regression tests for the Pallas kernels on the real chip.
+
+Covers the behaviors CLAUDE.md documents as interpret-mode-invisible:
+Mosaic dot precision (single-pass bf16 default), VMEM scalar stores,
+scoped-VMEM limits. Shapes are chosen small enough to compile in ~30 s
+each but large enough to hit the kernels' dispatch thresholds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+N = 4096  # shared by most tests -> Gram/factor shapes reuse compile cache
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import gpx
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-10, 10, size=(N, 1)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=N), jnp.float32)
+    params = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.se(3.0, 5.5) + gpx.white(0.5)
+    )
+    return x, y, params
+
+
+def test_fused_gram_matches_xla(setup):
+    """Pallas tile Gram == XLA Gram bit-for-bit (both f32 on chip)."""
+    x, _, params = setup
+    k_pallas = params.kernel.gram(x, nugget=1e-3, method="pallas")
+    k_xla = params.kernel.gram(x, nugget=1e-3, method="xla")
+    assert jnp.array_equal(k_pallas, k_xla), (
+        float(jnp.abs(k_pallas - k_xla).max())
+    )
+
+
+def test_chol_inv_compiled(setup):
+    """Recursive blocked (L, L^-1) vs XLA Cholesky on the chip (bf16x3)."""
+    from gpx.ops.pallas_chol import chol_inv
+
+    x, _, params = setup
+    k = params.kernel.gram(x, nugget=1e-3, method="pallas")
+    l, m = jax.jit(chol_inv)(k)
+    l_x = jax.lax.linalg.cholesky(k)
+    scale = float(jnp.abs(l_x).max())
+    # bf16x3 error amplified by sqrt(cond(K)) ~ 300 on this Gram
+    # (cond ~1e5): measured 5.5e-3 relative; single-pass-bf16 regressions
+    # would be ~100x worse, which is what this guards against
+    assert float(jnp.abs(l - l_x).max()) < 2e-2 * scale
+    # residual of the inverse: || M L - I ||_max
+    resid = float(jnp.abs(m @ l - jnp.eye(N, dtype=jnp.float32)).max())
+    assert resid < 5e-2
+    assert float(jnp.abs(jnp.triu(l, 1)).max()) == 0.0
+    assert float(jnp.abs(jnp.triu(m, 1)).max()) == 0.0
+
+
+def test_logml_grad_matches_autodiff(setup):
+    """Fused analytic path (Pallas chol_inv + gradient contraction +
+    logdet correction) vs autodiff-through-Cholesky, on chip at N=4096."""
+    from gpx.models import gp
+
+    x, y, params = setup
+    v_fused, g_fused = jax.jit(
+        lambda p: gp.logml_value_and_grad(p, x, y)
+    )(params)
+    v_auto, g_auto = jax.jit(
+        lambda p: gp.logml_value_and_grad(p, x, y, method="autodiff")
+    )(params)
+    assert abs(float(v_fused) - float(v_auto)) < 1e-3 * abs(float(v_auto))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fused.kernel),
+        jax.tree_util.tree_leaves(g_auto.kernel),
+    ):
+        np.testing.assert_allclose(float(a), float(b), rtol=2e-2, atol=0.5)
+
+
+def test_safe_cholesky_on_chip(setup):
+    """Nugget-escalation ladder: a PSD-but-singular Gram factors after
+    escalation, an SPD one does not escalate."""
+    from gpx.ops.safe_chol import safe_cholesky
+
+    x, _, params = setup
+    k = params.kernel.gram(x, nugget=1e-3, method="pallas")
+    res_ok = jax.jit(safe_cholesky)(k)
+    assert not bool(res_ok.failed)
+    # rank-1 matrix: plain Cholesky produces NaNs, the ladder must recover
+    v = jnp.ones((N, 1), jnp.float32)
+    res_bad = jax.jit(safe_cholesky)(v @ v.T)
+    assert not bool(res_bad.failed)
+    assert bool(jnp.isfinite(res_bad.chol).all())
+
+
+def test_trmm_and_syrk_compiled(rng):
+    """bf16x3 trmm/syrk on chip vs f32 XLA reference (small shapes)."""
+    from gpx.ops.pallas_trmm import syrk_lower, trmm
+
+    n = 2048
+    b = jnp.asarray(rng.normal(size=(n, n)), jnp.float32)
+    l = jnp.asarray(np.tril(rng.normal(size=(n, n))), jnp.float32)
+    got = jax.jit(lambda b, l: trmm(b, l, mode="right_lower_t"))(b, l)
+    want = b @ l.T
+    scale = float(jnp.abs(want).max())
+    # the dropped lo*lo term of the bf16x3 split accumulates over the
+    # contraction: ~n * 2^-18 relative worst-case (measured 2.3e-3 at
+    # n=2048); a single-pass-bf16 regression would be ~2^9x worse
+    tol = n * 2.0**-17
+    assert float(jnp.abs(got - want).max()) < tol * scale
+
+    got_s = jax.jit(syrk_lower)(b, l)
+    want_s = b - l @ l.T
+    il = jnp.tril_indices(n)
+    err = float(jnp.abs(got_s[il] - want_s[il]).max())
+    assert err < tol * float(jnp.abs(want_s).max())
