@@ -1,5 +1,5 @@
 """Model families: GP regression, GP classification, DLM / DLM-GP."""
 
-from gpx.models import classify, dlm, dlmgp, gp, gp_iterative, sparse
+from gpx.models import classify, dlm, dlmgp, gp, gp_iterative, sparse, svgp
 
-__all__ = ["classify", "dlm", "dlmgp", "gp", "gp_iterative", "sparse"]
+__all__ = ["classify", "dlm", "dlmgp", "gp", "gp_iterative", "sparse", "svgp"]

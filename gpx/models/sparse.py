@@ -28,7 +28,15 @@ from gpx.ops.chol import cholesky, forward_solve
 from gpx.ops.distance import as_locations
 from gpx.params import Parameters
 
-JITTER = 1e-6
+JITTER = 1e-6          # f64 lane
+JITTER_F32 = 1e-4      # f32 needs ~eps-scaled regularization: near-duplicate
+                       # inducing points make Kuu singular beyond f32 at 1e-6
+                       # (measured: NaN Cholesky on chip with 64 inducing
+                       # points drawn from 4096 clustered training inputs)
+
+
+def _jitter(dtype) -> float:
+    return JITTER if jnp.finfo(dtype).bits >= 64 else JITTER_F32
 
 
 def _common(params: Parameters, z, x, y, noise):
@@ -38,7 +46,7 @@ def _common(params: Parameters, z, x, y, noise):
     m = z.shape[0]
     sigma = jnp.sqrt(noise)
 
-    kuu = params.kernel.gram(z, nugget=JITTER)
+    kuu = params.kernel.gram(z, nugget=_jitter(z.dtype))
     kuf = params.kernel.gram(z, x)                 # (M, N)
     luu = cholesky(kuu)
     err = y - params.mean(x)

@@ -1,0 +1,108 @@
+"""SVGP: bound properties, KL, training, and predictive parity.
+
+Covers gpx.models.svgp — the minibatched uncollapsed variational GP that
+completes the sparse family next to SGPR (gpx.models.sparse).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpx import Parameters, se, white, zero
+from gpx.models import gp, sparse, svgp
+
+from .util import random_locations
+
+
+def _setup(rng, n=120):
+    x = jnp.asarray(np.sort(random_locations(rng, n, 1, scale=8.0), axis=0))
+    noise = 0.25
+    p_exact = Parameters(mean=zero(), kernel=se(2.0, 3.0) + white(noise))
+    p_smooth = Parameters(mean=zero(), kernel=se(2.0, 3.0))
+    y = gp.draw(jax.random.PRNGKey(0), p_exact, x, nugget=1e-6)
+    return x, y, p_exact, p_smooth, noise
+
+
+def test_kl_zero_at_init_and_positive_otherwise(rng):
+    state = svgp.init_state(12)
+    assert abs(float(svgp.kl(state))) < 1e-10
+    state2 = svgp.SVGPState(
+        mu=jnp.ones((12,)) * 0.5, c_raw=state.c_raw - 0.1
+    )
+    assert float(svgp.kl(state2)) > 0.0
+
+
+def test_full_batch_elbo_is_lower_bound(rng):
+    """With the full data as one 'minibatch', the SVGP ELBO lower-bounds
+    the exact logML for ANY variational state (Jensen)."""
+    x, y, p_exact, p_smooth, noise = _setup(rng, n=80)
+    exact = float(gp.log_marginal_likelihood(p_exact, x, y, nugget=1e-6))
+    z = sparse.init_inducing(jax.random.PRNGKey(1), x, 20)
+    for seed in (0, 1):
+        key = jax.random.PRNGKey(seed)
+        state = svgp.SVGPState(
+            mu=0.3 * jax.random.normal(key, (20,)),
+            c_raw=-0.2 * jnp.eye(20),
+        )
+        bound = float(svgp.elbo_minibatch(
+            p_smooth, z, state, x, y, n_total=x.shape[0],
+            noise=noise + 1e-6,
+        ))
+        assert bound <= exact + 1e-6
+
+
+def test_optimal_state_at_z_eq_x_matches_sgpr_bound(rng):
+    """Maximizing the SVGP ELBO over (mu, C) at fixed hyperparameters must
+    approach the collapsed SGPR bound (which is its analytic optimum)."""
+    x, y, _, p_smooth, noise = _setup(rng, n=60)
+    z = sparse.init_inducing(jax.random.PRNGKey(1), x, 15)
+    collapsed = float(sparse.elbo(p_smooth, z, x, y, noise=noise))
+
+    state = svgp.init_state(15, dtype=x.dtype)
+
+    def loss(s):
+        return -svgp.elbo_minibatch(
+            p_smooth, z, s, x, y, n_total=x.shape[0], noise=noise
+        )
+
+    import optax
+
+    opt = optax.adam(5e-2)
+
+    @jax.jit
+    def run(state):
+        def step(carry, _):
+            s, os = carry
+            val, g = jax.value_and_grad(loss)(s)
+            up, os = opt.update(g, os, s)
+            return (optax.apply_updates(s, up), os), val
+
+        (s, _), vals = jax.lax.scan(step, (state, opt.init(state)), None,
+                                    length=400)
+        return s, vals[-1]
+
+    _, val = run(state)
+    assert -float(val) <= collapsed + 1e-6      # never exceeds the optimum
+    assert -float(val) > collapsed - 0.05 * abs(collapsed) - 2.0
+
+
+def test_train_recovers_fit(rng):
+    """End-to-end minibatched training: the predictive tracks the exact GP
+    posterior mean on held-out points."""
+    x, y, p_exact, p_smooth, noise = _setup(rng, n=150)
+    z0 = sparse.init_inducing(jax.random.PRNGKey(2), x, 30)
+    params, z, state, out_noise, trace = svgp.train(
+        jax.random.PRNGKey(3), p_smooth, z0, x, y,
+        noise=noise, batch_size=50, steps=600, learning_rate=2e-2,
+    )
+    assert np.isfinite(np.asarray(trace)).all()
+    # the bound improves over training (compare averaged ends)
+    assert float(jnp.mean(trace[-50:])) > float(jnp.mean(trace[:50]))
+
+    xs = jnp.linspace(-7, 7, 40).reshape(-1, 1)
+    approx = svgp.fit(params, z, state, xs)
+    exact = gp.fit(p_exact, x, y, xs, nugget=1e-6)
+    scale = float(jnp.std(exact.mean))
+    err = float(jnp.max(jnp.abs(approx.mean - exact.mean)))
+    assert err < 0.5 * scale + 0.15
+    assert np.all(np.asarray(approx.variance) >= 0.0)
