@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax, random
 
-from gpx.models.gp import LOGML_NUGGET
+from gpx.models.gp import LOGML_NUGGET, PREDICT_NUGGET
 from gpx.ops.distance import as_locations
 from gpx.ops.pallas_matvec import gram_matvec
 from gpx.params import Parameters
@@ -42,7 +42,12 @@ def cg_solve(matvec, b, *, tol: float = 1e-6, max_iters: int = 1000, x0=None,
     squeeze = b.ndim == 1
     b2 = b[:, None] if squeeze else b
     x = jnp.zeros_like(b2) if x0 is None else (x0[:, None] if squeeze else x0)
-    m_inv = (lambda v: v) if precond is None else precond
+    if precond is None:
+        m_inv = lambda v: v
+    elif callable(precond):
+        m_inv = precond
+    else:                       # WoodburyPreconditioner (or anything .apply)
+        m_inv = precond.apply
 
     r = b2 - matvec(x)
     z = m_inv(r)
@@ -63,16 +68,21 @@ def cg_solve(matvec, b, *, tol: float = 1e-6, max_iters: int = 1000, x0=None,
         active = rs > tol * tol
         ap = matvec(p)
         denom = jnp.sum(p * ap, axis=0)
-        # non-positive curvature = f32 breakdown for that column: freeze it
-        # (finite, unconverged) instead of producing NaNs
-        ok = active & (denom > 0.0) & jnp.isfinite(denom)
+        # non-positive curvature or a non-positive preconditioned residual
+        # norm = f32 breakdown for that column: freeze it (finite,
+        # unconverged) instead of producing NaNs. rz <= 0 happens when an
+        # inexact (e.g. low-precision) preconditioner loses definiteness —
+        # without the guard, beta = rz_new / tiny overflows p to inf and
+        # the frozen alpha * p = 0 * inf then poisons x with NaN (measured
+        # at N=32k on chip).
+        ok = active & (denom > 0.0) & jnp.isfinite(denom) & (rz > 0.0)
         alpha = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 0.0)
         x = x + alpha[None, :] * p
         r = r - alpha[None, :] * ap
         z = m_inv(r)
         rz_new = jnp.sum(r * z, axis=0)
-        beta = jnp.where(active, rz_new / jnp.maximum(rz, tiny), 0.0)
-        p = z + beta[None, :] * p
+        beta = jnp.where(ok, rz_new / jnp.maximum(rz, tiny), 0.0)
+        p = jnp.where(ok[None, :], z + beta[None, :] * p, p)
         return x, r, p, rz_new, jnp.sum(r * r, axis=0), it + 1
 
     x, _, _, _, rs, iters = lax.while_loop(
@@ -109,7 +119,12 @@ def pivoted_cholesky(kernel, x, rank: int, *, method: str = "auto"):
         pivot = jnp.argmax(d)
         k_col = column(pivot)
         l_pivot = lax.dynamic_slice_in_dim(l, pivot, 1, 0)[0]   # (rank,)
-        resid = k_col - l @ l_pivot
+        # HIGHEST: the residual is a cancellation of near-equal columns;
+        # the TPU's default single-pass bf16 matmul destroys it at f32
+        resid = k_col - jnp.dot(
+            l, l_pivot, preferred_element_type=l.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         d_pivot = d[pivot]
         # emit a zero column once pivots are exhausted (dividing by a
         # cancelled-to-zero d produces NaN/inf columns in f32)
@@ -128,26 +143,74 @@ def pivoted_cholesky(kernel, x, rank: int, *, method: str = "auto"):
     return l_r
 
 
-def pivoted_cholesky_preconditioner(kernel, x, rank: int, noise: float):
-    """Woodbury-form inverse of ``P = L_r L_r^T + noise I`` as a callable
-    for :func:`cg_solve`. ``noise`` should be the additive diagonal (white
-    variance + nugget) so P matches K's noise floor."""
-    l_r = pivoted_cholesky(kernel, x, rank)
-    rank_eye = jnp.eye(rank, dtype=l_r.dtype)
-    small = noise * rank_eye + l_r.T @ l_r
-    small_chol = jnp.linalg.cholesky(small)
+class WoodburyPreconditioner(NamedTuple):
+    """``P = L_r L_r^T + noise I`` held in its eigenbasis: ``P = W (lam +
+    noise) W^T + noise (I - W W^T)`` with ``W`` orthonormal (n, r).
 
-    def apply(v):
+    Why not the textbook Woodbury ``cho_solve(noise I + L^T L)``: at f32
+    with n = 32k, cond(noise I + L^T L) ~ 1e5 and the solve's asymmetric
+    rounding makes P^{-1} non-symmetric enough that PCG *diverges*
+    (measured: residual grew 217 -> 1329 where plain CG converged). The
+    ``W c W^T`` form applies the inverse as an elementwise scale in an
+    orthonormal basis — symmetric to machine precision.
+
+    ``apply`` = P^{-1}; ``logdet`` = log det P (exact); ``sample`` draws
+    z ~ N(0, P) via the exact square root ``W sqrt(lam + noise) W^T +
+    sqrt(noise)(I - W W^T)`` — the probe distribution of preconditioned
+    SLQ."""
+
+    w: jnp.ndarray         # (n, r) orthonormal
+    lam: jnp.ndarray       # (r,) eigenvalues of L_r L_r^T, >= 0
+    noise: jnp.ndarray
+    n: int
+
+    def apply(self, v):
         squeeze = v.ndim == 1
         v2 = v[:, None] if squeeze else v
-        ltv = l_r.T @ v2
-        from jax.scipy.linalg import cho_solve
-
-        inner = cho_solve((small_chol, True), ltv)
-        out = (v2 - l_r @ inner) / noise
+        scale = (self.lam / (self.lam + self.noise)).astype(v2.dtype)
+        w = self.w.astype(v2.dtype)
+        hi = jax.lax.Precision.HIGHEST       # bf16 default breaks symmetry
+        t = jnp.matmul(w.T, v2, precision=hi)
+        out = (v2 - jnp.matmul(w, scale[:, None] * t, precision=hi)) / (
+            self.noise.astype(v2.dtype)
+        )
         return out[:, 0] if squeeze else out
 
-    return apply
+    @property
+    def logdet(self):
+        rank = self.lam.shape[0]
+        return jnp.sum(jnp.log(self.lam + self.noise)) + (
+            self.n - rank
+        ) * jnp.log(self.noise)
+
+    def sample(self, key, n_probes: int):
+        u = random.normal(key, (self.n, n_probes), self.w.dtype)
+        gain = jnp.sqrt(self.lam + self.noise) - jnp.sqrt(self.noise)
+        hi = jax.lax.Precision.HIGHEST
+        t = jnp.matmul(self.w.T, u, precision=hi)
+        return jnp.matmul(self.w, gain[:, None] * t, precision=hi) + jnp.sqrt(
+            self.noise
+        ) * u
+
+
+def pivoted_cholesky_preconditioner(kernel, x, rank: int, noise: float):
+    """Build a :class:`WoodburyPreconditioner` for ``K ≈ L_r L_r^T +
+    noise I``. ``noise`` should be the additive diagonal (white variance +
+    nugget) so P matches K's noise floor. ``.apply`` is the ``precond``
+    callable for :func:`cg_solve`."""
+    l_r = pivoted_cholesky(kernel, x, rank)
+    noise = jnp.asarray(noise, l_r.dtype)
+    # HIGHEST matmul precision: QR/eigh lower to blocked Householder
+    # matmuls which default to single-pass bf16 on TPU — the resulting W
+    # loses orthonormality to ~1e-2 and the 'SPD' preconditioner breaks
+    # PCG (measured NaN at N=32k)
+    with jax.default_matmul_precision("highest"):
+        q, r_mat = jnp.linalg.qr(l_r)             # (n, r), (r, r)
+        lam, u = jnp.linalg.eigh(r_mat @ r_mat.T)
+        w = q @ u
+    return WoodburyPreconditioner(
+        w=w, lam=jnp.maximum(lam, 0.0), noise=noise, n=l_r.shape[0]
+    )
 
 
 def lanczos(matvec, z, m: int):
@@ -188,6 +251,156 @@ def slq_logdet(matvec, n: int, key, *, n_probes: int = 16, m: int = 32,
         return jnp.sum(weights * jnp.log(theta)) * n
 
     return jnp.mean(jax.vmap(one_probe)(keys))
+
+
+def _pcg_tridiag(matvec, z, m: int, precond):
+    """``m`` fixed PCG iterations on ``K x = z``, returning the Lanczos
+    tridiagonal of ``P^{-1/2} K P^{-1/2}`` recovered from the CG step/
+    direction coefficients (Saad 2003 §6.7; the mBCG device of the BBMM
+    paper, PAPERS.md): ``T_jj = 1/a_j + b_{j-1}/a_{j-1}``,
+    ``T_{j,j+1} = sqrt(b_j)/a_j``. Columns that converge early are frozen
+    and their trailing T entries extend with (1, 0) — a log-eigenvalue
+    contribution of zero."""
+    m_inv = precond.apply if hasattr(precond, "apply") else precond
+    r = z
+    zz = m_inv(r)
+    p = zz
+    rz = jnp.sum(r * zz, axis=0)
+    tiny = jnp.asarray(1e-30, z.dtype)
+
+    def step(carry, _):
+        x_unused, r, p, rz, a_prev, b_prev = carry
+        active = rz > tiny
+        ap = matvec(p)
+        denom = jnp.sum(p * ap, axis=0)
+        ok = active & (denom > 0.0) & jnp.isfinite(denom)
+        a = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 1.0)
+        r_new = r - a[None, :] * ap
+        z_new = m_inv(r_new)
+        rz_new = jnp.sum(r_new * z_new, axis=0)
+        b = jnp.where(ok, rz_new / jnp.maximum(rz, tiny), 0.0)
+        p_new = z_new + b[None, :] * p
+        t_diag = jnp.where(ok, 1.0 / a + b_prev / a_prev, 1.0)
+        t_off = jnp.where(ok, jnp.sqrt(jnp.maximum(b, 0.0)) / a, 0.0)
+        return (x_unused, r_new, p_new, rz_new, a, b), (t_diag, t_off)
+
+    one = jnp.ones_like(rz)
+    (_, _, _, _, _, _), (t_diags, t_offs) = lax.scan(
+        step, (z, r, p, rz, one, jnp.zeros_like(rz)), None, length=m
+    )
+    return t_diags, t_offs[:-1]        # (m, R), (m-1, R)
+
+
+def slq_logdet_preconditioned(matvec, precond: "WoodburyPreconditioner",
+                              key, *, n_probes: int = 16, m: int = 32):
+    """Preconditioned SLQ: ``logdet K = logdet P + E_{u~N(0,I)}[u^T
+    log(P^{-1/2} K P^{-1/2}) u]`` with probes ``z = P^{1/2} u`` and the
+    quadrature tridiagonals recovered from ``m`` PCG iterations
+    (:func:`_pcg_tridiag`). Since ``P^{-1}K ≈ I``, the stochastic part is
+    small and concentrated — the variance-reduction that makes SLQ usable
+    at cond(K) ~ 1e5 where plain Lanczos underestimates badly (BBMM,
+    PAPERS.md). Each probe is weighted by its own ``||u||^2 = z^T P^{-1}
+    z`` — weight and quadrature are correlated, so substituting the
+    expectation n would re-inject O(1/sqrt(n)) variance (measured: 4.5 vs
+    0.5 absolute logdet error at n=400)."""
+    z = precond.sample(key, n_probes)          # z ~ N(0, P)
+    weights = jnp.sum(z * precond.apply(z), axis=0)      # ||u||^2 per probe
+    t_diags, t_offs = _pcg_tridiag(matvec, z, m, precond)
+
+    def quad(diag, off):
+        t = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+        theta, vecs = jnp.linalg.eigh(t)
+        theta = jnp.maximum(theta, 1e-12)
+        return jnp.sum(vecs[0, :] ** 2 * jnp.log(theta))
+
+    quads = jax.vmap(quad, in_axes=(1, 1))(t_diags, t_offs)
+    return precond.logdet + jnp.mean(weights * quads)
+
+
+class IterativePosterior(NamedTuple):
+    x: jnp.ndarray
+    mean: jnp.ndarray
+    variance: jnp.ndarray      # empty (0,) array when variance="none"
+    cg_iters: jnp.ndarray
+    cg_converged: jnp.ndarray
+
+
+def fit_iterative(
+    params: Parameters,
+    x,
+    y,
+    xs,
+    *,
+    nugget: float = PREDICT_NUGGET,
+    cg_tol: float = 1e-5,
+    cg_max_iters: int = 1000,
+    precond_rank: int = 0,
+    variance: str = "exact",
+    variance_block: int = 256,
+) -> IterativePosterior:
+    """Matrix-free GP posterior at ``xs`` — GPML Alg 2.1 (Predict.fit,
+    Predict.scala:57-94) for N beyond the dense paths: K(x, x) never
+    materializes (streamed matvecs), so memory is O(N (D + block)).
+
+    * mean: one (preconditioned) CG solve for ``alpha``, then the streamed
+      cross matvec ``K(xs, x) @ alpha`` — O(N M) compute, O(N + M) memory.
+    * variance (``variance="exact"``): per block of ``variance_block`` test
+      points, batched CG on the cross-covariance columns gives
+      ``K^{-1} K(x, S)`` and ``var = k_ss - diag(K(S, x) K^{-1} K(x, S))``
+      — exact up to ``cg_tol`` but M/block extra CG solves; pass
+      ``variance="none"`` for the mean-only fit at large M.
+    """
+    if variance not in ("exact", "none"):
+        raise ValueError(f"unknown variance mode: {variance}")
+    x = as_locations(x)
+    xs = as_locations(xs)
+    m = xs.shape[0]
+
+    def matvec(v):
+        return gram_matvec(params.kernel, x, v, nugget=nugget)
+
+    precond = None
+    if precond_rank > 0:
+        from gpx.kernels import split_noise
+
+        smooth, noise_var = split_noise(params.kernel)
+        if smooth is not None:
+            precond = pivoted_cholesky_preconditioner(
+                smooth, x, precond_rank, noise=noise_var + nugget + 1e-8
+            )
+
+    r = y - params.mean(x)
+    alpha, cg_iters, cg_converged = cg_solve(
+        matvec, r, tol=cg_tol, max_iters=cg_max_iters, precond=precond
+    )
+    from gpx.ops.pallas_matvec import cross_matvec
+
+    mean = params.mean(xs) + cross_matvec(params.kernel, xs, x, alpha)
+
+    if variance == "none":
+        return IterativePosterior(
+            x=xs, mean=mean, variance=jnp.zeros((0,), mean.dtype),
+            cg_iters=cg_iters, cg_converged=cg_converged,
+        )
+
+    kss = params.kernel.diag(xs, dtype=mean.dtype)
+    pad = (-m) % variance_block
+    xs_p = jnp.pad(xs, ((0, pad), (0, 0)))
+    blocks = xs_p.reshape(-1, variance_block, xs.shape[1])
+
+    def one_block(xb):
+        ks = params.kernel.gram(x, xb)         # K(x, S_b): (N, B)
+        sol, _, ok = cg_solve(
+            matvec, ks, tol=cg_tol, max_iters=cg_max_iters, precond=precond
+        )
+        return jnp.sum(ks * sol, axis=0), ok
+
+    quad, ok_blocks = lax.map(one_block, blocks)
+    var = jnp.maximum(kss - quad.reshape(-1)[:m], 0.0)
+    return IterativePosterior(
+        x=xs, mean=mean, variance=var, cg_iters=cg_iters,
+        cg_converged=jnp.logical_and(cg_converged, ok_blocks.all()),
+    )
 
 
 class IterativeLogML(NamedTuple):
@@ -253,9 +466,18 @@ def logml_value_and_grad_iterative(
     alpha = solves[:, 0]
     probe_solves = solves[:, 1:]
 
-    logdet = slq_logdet(
-        matvec, n, k_slq, n_probes=n_probes, m=lanczos_iters, dtype=r.dtype
-    )
+    if precond is not None:
+        # preconditioned SLQ: logdet P exactly + a small stochastic
+        # correction for log det(P^{-1}K) — dramatically lower variance
+        # than plain SLQ when P tracks K (ROADMAP item 7)
+        logdet = slq_logdet_preconditioned(
+            matvec, precond, k_slq, n_probes=n_probes, m=lanczos_iters
+        )
+    else:
+        logdet = slq_logdet(
+            matvec, n, k_slq, n_probes=n_probes, m=lanczos_iters,
+            dtype=r.dtype,
+        )
     value = -0.5 * alpha @ r - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
 
     # gradients:

@@ -117,6 +117,11 @@ def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
         out_specs=pl.BlockSpec((bt, r), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, r), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bt, r), jnp.float32)],
+        # wide RHS batches push the (bt, bt) k_tile + (bt, r) buffers past
+        # the 16 MB default scoped-VMEM cap (measured at r = 256)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         jnp.asarray(x, jnp.float32),
@@ -126,6 +131,125 @@ def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
     )
     out = out.astype(v2.dtype)
     return out[:, 0] if squeeze else out
+
+
+def _cross_kernel(*refs, treedef, d, bt, nb2, n_params):
+    x_i, x_j, v_j = refs[0], refs[1], refs[2]
+    param_refs = refs[3 : 3 + n_params]
+    out_ref = refs[3 + n_params]
+    acc = refs[4 + n_params]
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    r2 = jnp.maximum(_tile_sq_dist(x_i[:], x_j[:], d), 0.0)
+    kernel = jax.tree_util.tree_unflatten(
+        treedef, [ref[0, 0] for ref in param_refs]
+    )
+    k_tile = kernel.evaluate_r2(r2)
+    acc[:] += jnp.dot(
+        k_tile,
+        v_j[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == nb2 - 1)
+    def _write():
+        out_ref[:] = acc[:]
+
+
+def cross_matvec(kernel, x1, x2, v, *, bt: int = _BT,
+                 interpret: bool = False):
+    """``K(x1, x2) @ v`` with the cross-covariance streamed tile-by-tile —
+    the prediction-path analog of :func:`gram_matvec` (``Kxs^T alpha`` at
+    O(N1 (D + R)) memory; rebuilds Predict.buildDistVec + the mean
+    contraction of Predict.scala:89-91 without materializing K(x*, x)).
+
+    ``v``: (N2,) or (N2, R). Falls back to the XLA row-blocked path when
+    shapes don't tile or off-TPU. No nugget/White-diagonal terms: between
+    distinct location sets the diagonal is not special (duplicate points
+    across sets still get White's r == 0 contribution via exact zeros for
+    D <= 8, as in the dense cross gram)."""
+    x1 = as_locations(x1)
+    x2 = as_locations(x2)
+    center = jax.lax.stop_gradient(jnp.mean(x2, axis=0, keepdims=True))
+    x1 = x1 - center
+    x2 = x2 - center
+    n1, d = x1.shape
+    n2 = x2.shape[0]
+    squeeze = v.ndim == 1
+    v2 = v[:, None] if squeeze else v
+    r = v2.shape[1]
+
+    use_pallas = (
+        (jax.default_backend() == "tpu" or interpret)
+        and kernel.is_stationary
+        and n1 % bt == 0
+        and n2 % bt == 0
+        and r <= 512
+    )
+    if not use_pallas:
+        out = _cross_matvec_xla(kernel, x1, x2, v2)
+        return out[:, 0] if squeeze else out
+
+    leaves, treedef = jax.tree_util.tree_flatten(kernel)
+    smem_params = [jnp.asarray(p, jnp.float32).reshape(1, 1) for p in leaves]
+    nb1, nb2 = n1 // bt, n2 // bt
+    body = functools.partial(
+        _cross_kernel, treedef=treedef, d=d, bt=bt, nb2=nb2,
+        n_params=len(leaves),
+    )
+    out = pl.pallas_call(
+        body,
+        grid=(nb1, nb2),
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, r), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+            for _ in smem_params
+        ],
+        out_specs=pl.BlockSpec((bt, r), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n1, r), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, r), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(x1, jnp.float32),
+        jnp.asarray(x2, jnp.float32),
+        jnp.asarray(v2, jnp.float32),
+        *smem_params,
+    )
+    out = out.astype(v2.dtype)
+    return out[:, 0] if squeeze else out
+
+
+def _cross_matvec_xla(kernel, x1, x2, v2, block: int = 2048):
+    """Row-blocked XLA fallback for :func:`cross_matvec` (checkpointed, so
+    the VJP recomputes cross-Gram tiles instead of storing them)."""
+    from gpx.ops.distance import sq_distances
+
+    n1 = x1.shape[0]
+    pad = (-n1) % block
+    xp = jnp.pad(x1, ((0, pad), (0, 0)))
+    rows = xp.reshape(-1, block, x1.shape[1])
+
+    @jax.checkpoint
+    def row_block(kernel, xb):
+        r2 = jnp.maximum(sq_distances(xb, x2), 0.0)
+        return kernel.evaluate_xx(xb, x2, r2) @ v2
+
+    out = jax.lax.map(lambda xb: row_block(kernel, xb), rows)
+    return out.reshape(-1, v2.shape[1])[:n1]
 
 
 def _gram_matvec_xla(kernel, x, v2, nugget, block: int = 2048):
