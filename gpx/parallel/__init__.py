@@ -20,6 +20,7 @@ from gpx.parallel.sharded import (
     sharded_logml,
     sharded_predict,
     sample_chains_sharded,
+    sample_mh_2d,
 )
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "sharded_logml",
     "sharded_predict",
     "sample_chains_sharded",
+    "sample_mh_2d",
 ]

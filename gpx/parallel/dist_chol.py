@@ -50,45 +50,51 @@ def distributed_cholesky(k, mesh: Mesh, *, axis: str = "data",
         )
     n_panels = n // panel
 
-    @partial(
-        jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None)
-    )
-    def factorize(k_loc):
-        my = lax.axis_index(axis)
-        row0 = my * rows_per
-        a = k_loc
-        for p in range(n_panels):
-            s, e = p * panel, (p + 1) * panel
-            # 1. gather the current panel column block (already updated by
-            #    all previous panels' trailing updates)
-            full_col = lax.all_gather(a[:, s:e], axis, tiled=True)  # (N, panel)
-            # 2. redundant small factorization on every chip
-            l_pp = jnp.linalg.cholesky(full_col[s:e])
-            below = full_col[e:]                                    # (N-e, panel)
-            l_below = solve_triangular(l_pp, below.T, lower=True).T
-            l_col = jnp.concatenate(
-                [
-                    jnp.zeros((s, panel), a.dtype),
-                    l_pp,
-                    l_below,
-                ],
-                axis=0,
-            )                                                        # (N, panel)
-            l_col_loc = lax.dynamic_slice_in_dim(l_col, row0, rows_per, 0)
-            a = a.at[:, s:e].set(l_col_loc)
-            # 3. local trailing update of owned rows (rows above the panel
-            #    only touch the dead upper triangle, masked at the end)
-            if e < n:
-                a = a.at[:, e:].add(
-                    -jnp.matmul(
-                        l_col_loc, l_below.T, preferred_element_type=a.dtype
-                    )
-                )
-        rows_g = row0 + lax.broadcasted_iota(jnp.int32, (rows_per, 1), 0)
-        cols = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-        return jnp.where(cols > rows_g, jnp.zeros_like(a), a)
+    body = partial(chol_body, axis=axis, n=n, panel=panel)
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None)
+    )(k)
 
-    return factorize(k)
+
+def chol_body(k_loc, *, axis: str, n: int, panel: int = 128):
+    """Per-device body of :func:`distributed_cholesky` — callable inside
+    ANY ``shard_map`` whose mesh has ``axis`` (e.g. nested under a chains
+    axis, gpx.parallel.sharded.sample_mh_2d)."""
+    rows_per = k_loc.shape[0]
+    n_panels = n // panel
+    my = lax.axis_index(axis)
+    row0 = my * rows_per
+    a = k_loc
+    for p in range(n_panels):
+        s, e = p * panel, (p + 1) * panel
+        # 1. gather the current panel column block (already updated by
+        #    all previous panels' trailing updates)
+        full_col = lax.all_gather(a[:, s:e], axis, tiled=True)  # (N, panel)
+        # 2. redundant small factorization on every chip
+        l_pp = jnp.linalg.cholesky(full_col[s:e])
+        below = full_col[e:]                                    # (N-e, panel)
+        l_below = solve_triangular(l_pp, below.T, lower=True).T
+        l_col = jnp.concatenate(
+            [
+                jnp.zeros((s, panel), a.dtype),
+                l_pp,
+                l_below,
+            ],
+            axis=0,
+        )                                                        # (N, panel)
+        l_col_loc = lax.dynamic_slice_in_dim(l_col, row0, rows_per, 0)
+        a = a.at[:, s:e].set(l_col_loc)
+        # 3. local trailing update of owned rows (rows above the panel
+        #    only touch the dead upper triangle, masked at the end)
+        if e < n:
+            a = a.at[:, e:].add(
+                -jnp.matmul(
+                    l_col_loc, l_below.T, preferred_element_type=a.dtype
+                )
+            )
+    rows_g = row0 + lax.broadcasted_iota(jnp.int32, (rows_per, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return jnp.where(cols > rows_g, jnp.zeros_like(a), a)
 
 
 def distributed_half_logdet(l_sharded, mesh: Mesh, *, axis: str = "data"):
@@ -97,15 +103,21 @@ def distributed_half_logdet(l_sharded, mesh: Mesh, *, axis: str = "data"):
     d = mesh.shape[axis]
     rows_per = n // d
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P())
-    def half_logdet(l_loc):
-        my = lax.axis_index(axis)
-        row0 = my * rows_per
-        idx = row0 + jnp.arange(rows_per)
-        diag = jnp.take_along_axis(l_loc, idx[:, None], axis=1)[:, 0]
-        return lax.psum(jnp.sum(jnp.log(diag)), axis)
+    del rows_per
+    body = partial(half_logdet_body, axis=axis)
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=P(axis, None), out_specs=P()
+    )(l_sharded)
 
-    return half_logdet(l_sharded)
+
+def half_logdet_body(l_loc, *, axis: str):
+    """Per-device body of :func:`distributed_half_logdet`."""
+    rows_per = l_loc.shape[0]
+    my = lax.axis_index(axis)
+    row0 = my * rows_per
+    idx = row0 + jnp.arange(rows_per)
+    diag = jnp.take_along_axis(l_loc, idx[:, None], axis=1)[:, 0]
+    return lax.psum(jnp.sum(jnp.log(diag)), axis)
 
 
 def distributed_forward_solve(l_sharded, b, mesh: Mesh, *, axis: str = "data",
@@ -121,40 +133,70 @@ def distributed_forward_solve(l_sharded, b, mesh: Mesh, *, axis: str = "data",
     n_panels = n // panel
     panels_per_dev = rows_per // panel
 
-    @partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P()
-    )
-    def solve(l_loc, b_rep):
-        my = lax.axis_index(axis)
-        row0 = my * rows_per
-        # residual z for OWNED rows; u assembled replicated panel by panel
-        z_loc = lax.dynamic_slice_in_dim(b_rep, row0, rows_per, 0)
-        u = jnp.zeros((n,), l_loc.dtype)
-        eye = jnp.eye(panel, dtype=l_loc.dtype)
-        for p in range(n_panels):
-            s = p * panel
-            owner = p // panels_per_dev
-            local_off = (p % panels_per_dev) * panel
-            # every chip solves its candidate block; off-owner blocks can be
-            # singular (zeroed upper triangle), and although the result is
-            # masked out below, inf/NaN primals would poison reverse-mode AD
-            # through solve_triangular — substitute the identity off-owner
-            l_pp = lax.dynamic_slice(
-                l_loc, (local_off, s), (panel, panel)
-            )
-            l_pp = jnp.where(my == owner, l_pp, eye)
-            z_p = lax.dynamic_slice_in_dim(z_loc, local_off, panel, 0)
-            cand = solve_triangular(l_pp, z_p, lower=True)
-            u_p = lax.psum(
-                jnp.where(my == owner, cand, jnp.zeros_like(cand)), axis
-            )
-            u = lax.dynamic_update_slice_in_dim(u, u_p, s, 0)
-            # update local residuals for the solved panel's columns
-            cols = lax.dynamic_slice(l_loc, (0, s), (rows_per, panel))
-            z_loc = z_loc - cols @ u_p
-        return u
+    del n_panels, panels_per_dev
+    body = partial(forward_solve_body, axis=axis, n=n, panel=panel)
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P()
+    )(l_sharded, b)
 
-    return solve(l_sharded, b)
+
+def forward_solve_body(l_loc, b_rep, *, axis: str, n: int, panel: int = 128):
+    """Per-device body of :func:`distributed_forward_solve`."""
+    rows_per = l_loc.shape[0]
+    n_panels = n // panel
+    panels_per_dev = rows_per // panel
+    my = lax.axis_index(axis)
+    row0 = my * rows_per
+    # residual z for OWNED rows; u assembled replicated panel by panel
+    z_loc = lax.dynamic_slice_in_dim(b_rep, row0, rows_per, 0)
+    u = jnp.zeros((n,), l_loc.dtype)
+    eye = jnp.eye(panel, dtype=l_loc.dtype)
+    for p in range(n_panels):
+        s = p * panel
+        owner = p // panels_per_dev
+        local_off = (p % panels_per_dev) * panel
+        # every chip solves its candidate block; off-owner blocks can be
+        # singular (zeroed upper triangle), and although the result is
+        # masked out below, inf/NaN primals would poison reverse-mode AD
+        # through solve_triangular — substitute the identity off-owner
+        l_pp = lax.dynamic_slice(
+            l_loc, (local_off, s), (panel, panel)
+        )
+        l_pp = jnp.where(my == owner, l_pp, eye)
+        z_p = lax.dynamic_slice_in_dim(z_loc, local_off, panel, 0)
+        cand = solve_triangular(l_pp, z_p, lower=True)
+        u_p = lax.psum(
+            jnp.where(my == owner, cand, jnp.zeros_like(cand)), axis
+        )
+        u = lax.dynamic_update_slice_in_dim(u, u_p, s, 0)
+        # update local residuals for the solved panel's columns
+        cols = lax.dynamic_slice(l_loc, (0, s), (rows_per, panel))
+        z_loc = z_loc - cols @ u_p
+    return u
+
+
+def logml_body(params, x_loc, y_rep, *, axis: str, n: int,
+               nugget: float = 1e-3, panel: int = 128):
+    """Exact GP logML computed entirely inside a ``shard_map`` body with
+    the data row-sharded over ``axis`` — the composable form of
+    :func:`distributed_logml` (GaussianProcess.loglikelihood,
+    GaussianProcess.scala:109-127). Gram rows are built locally from the
+    all-gathered locations (O(N D) comms), then the panel Cholesky /
+    solve / logdet bodies run over the same axis. Usable under an outer
+    chains axis (gpx.parallel.sharded.sample_mh_2d)."""
+    rows_per = x_loc.shape[0]
+    my = lax.axis_index(axis)
+    row0 = my * rows_per
+    x_full = lax.all_gather(x_loc, axis, tiled=True)          # (N, D)
+    k_loc = params.kernel.gram(x_loc, x_full, method="xla")   # (rows, N)
+    rows_g = row0 + lax.broadcasted_iota(jnp.int32, (rows_per, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    k_loc = jnp.where(cols == rows_g, k_loc + nugget, k_loc)
+    l_loc = chol_body(k_loc, axis=axis, n=n, panel=panel)
+    resid = y_rep - params.mean(x_full)
+    u = forward_solve_body(l_loc, resid, axis=axis, n=n, panel=panel)
+    half_logdet = half_logdet_body(l_loc, axis=axis)
+    return -0.5 * u @ u - half_logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
 
 
 def distributed_back_solve(l_sharded, b, mesh: Mesh, *, axis: str = "data",

@@ -15,7 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import random
+from jax import lax, random
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpx.models import gp
@@ -140,3 +140,103 @@ def sample_chains_sharded(step, init_state, key, n_samples: int,
         )(keys_blk, inits_blk)
 
     return jax.jit(run)(keys, init_states)
+
+
+def sample_mh_2d(
+    key,
+    x,
+    y,
+    template: Parameters,
+    log_prior,
+    n_samples: int,
+    mesh: Mesh,
+    *,
+    chains_axis: str = "chains",
+    data_axis: str = "data",
+    proposal_scale: float = 0.15,
+    burn_in: int = 0,
+    thin: int = 1,
+    nugget: float = gp.LOGML_NUGGET,
+    init_jitter: float = 0.1,
+    panel: int = 128,
+):
+    """MH hyperparameter sampling on a 2-D ``(chains, data)`` mesh: chains
+    spread over ``chains_axis`` while EVERY logML evaluation inside every
+    chain runs the distributed panel Cholesky over ``data_axis`` — no chip
+    ever holds the full Gram (ROADMAP item 6; scales SURVEY §2.4's mapping
+    of SimulatedGp.scala:163-165's threaded chains to a mesh whose other
+    axis also shards the O(N^2)/O(N^3) work).
+
+    ``n_chains = mesh.shape[chains_axis]`` chains (one per mesh row; the
+    embarrassing axis needs no more). Returns the same ``PosteriorSamples``
+    packaging as ``gpx.infer.mcmc.sample_mh``.
+    """
+    from gpx.infer import base, mh
+    from gpx.infer.mcmc import _disperse, _package
+    from gpx.parallel.dist_chol import logml_body
+
+    x = as_locations(x)
+    n = x.shape[0]
+    n_chains = mesh.shape[chains_axis]
+    d_data = mesh.shape[data_axis]
+    if n % d_data or (n // d_data) % panel:
+        raise ValueError(
+            f"N={n} must split into {d_data} row shards of panel-multiple "
+            f"size (panel={panel})"
+        )
+
+    bij_tree = template.bijectors()
+    logpost0, flat0, unravel = mh.make_unconstrained_log_posterior(
+        lambda c: jnp.asarray(0.0), template
+    )
+    k_init, k_run = random.split(key)
+    inits = _disperse(k_init, flat0, n_chains, init_jitter)
+    keys = random.split(k_run, n_chains)
+
+    from gpx import params as gparams
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(chains_axis, None), P(chains_axis, None),
+                  P(data_axis, None), P()),
+        out_specs=P(chains_axis),
+    )
+    def run(keys_blk, inits_blk, x_loc, y_rep):
+        def log_posterior(flat):
+            u = unravel(flat)
+            c = gparams.constrain(bij_tree, u)
+            ll = logml_body(
+                c, x_loc, y_rep, axis=data_axis, n=n, nugget=nugget,
+                panel=panel,
+            )
+            return (
+                ll + log_prior(c) + gparams.log_det_jacobian(bij_tree, u)
+            )
+
+        step = mh.kernel(log_posterior, mh.gaussian_random_walk(proposal_scale))
+
+        def one_chain(args):
+            k, f0 = args
+            st = mh.init(f0, log_posterior)
+            # constant-initialized state components (accept counter) are
+            # 'unvarying' over the chains axis in shard_map's manual-axes
+            # typing, but the scan body makes them varying — cast up front
+            def _vary(leaf):
+                if chains_axis in getattr(jax.typeof(leaf), "vma", ()):
+                    return leaf
+                return lax.pcast(leaf, (chains_axis,), to="varying")
+
+            st = jax.tree_util.tree_map(_vary, st)
+            res = base.sample(
+                step, st, k, n_samples, burn_in=burn_in, thin=thin,
+                collect=lambda s: s.position,
+            )
+            return res.samples, res.accept_rate
+
+        # chains in this block run sequentially (lax.map -> scan): every
+        # device in a data row executes the identical collective schedule
+        return lax.map(one_chain, (keys_blk, inits_blk))
+
+    samples, accept = jax.jit(run)(keys, inits, x, y)
+    return _package(template, bij_tree, unravel, samples, accept, {})
