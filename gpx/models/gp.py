@@ -34,7 +34,7 @@ from jax import random
 
 from gpx.distributions import normal_interval
 from gpx.ops.chol import add_jitter, cholesky, forward_solve
-from gpx.ops.distance import as_locations
+from gpx.ops.distance import as_locations, check_xy
 from gpx.params import Parameters
 
 # The reference's nugget discipline (Tikhonov regularization).
@@ -87,7 +87,7 @@ def log_marginal_likelihood(
     extreme proposals during MCMC) and escalates the nugget before giving up
     and returning ``-inf`` — so a sampler rejects the move instead of
     propagating NaNs (SURVEY.md §5 failure detection)."""
-    x = as_locations(x)
+    x, y = check_xy(x, y)
     n = x.shape[0]
     kxx = params.kernel.gram(x, nugget=nugget)
     if safe:
@@ -142,7 +142,7 @@ def logml_value_and_grad(
 def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
     from gpx.ops.chol import back_solve, spd_inverse_from_chol, tri_inverse_lower
 
-    x = as_locations(x)
+    x, y = check_xy(x, y)
     n = x.shape[0]
 
     k_val, gram_vjp = jax.vjp(
@@ -246,7 +246,7 @@ def fit(
     """
     from gpx.ops.chol import back_solve
 
-    x = as_locations(x)
+    x, y = check_xy(x, y)
     xs = as_locations(xs)
     n, m = x.shape[0], xs.shape[0]
     kxx = params.kernel.gram(x, nugget=nugget)

@@ -16,11 +16,31 @@ import jax.numpy as jnp
 
 def as_locations(x):
     """Coerce to ``(N, D)``: 1-D input becomes the reference's ``One``
-    locations (``(N, 1)``); ``(N, 2)`` is ``Two``; any D is allowed."""
+    locations (``(N, 1)``); ``(N, 2)`` is ``Two``; any D is allowed.
+    Rejects ndim > 2 with a clear error instead of a downstream broadcast
+    failure (ROADMAP: friendlier input validation)."""
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
+    if x.ndim != 2:
+        raise ValueError(
+            f"locations must be (N,) or (N, D), got shape {x.shape}"
+        )
     return x
+
+
+def check_xy(x, y, what: str = "y"):
+    """Validate targets against locations: returns ``(x, y)`` with ``x``
+    coerced, raising a readable error on a length mismatch (instead of the
+    raw XLA broadcast error the solves would produce)."""
+    x = as_locations(x)
+    y = jnp.asarray(y)
+    if y.ndim != 1 or y.shape[0] != x.shape[0]:
+        raise ValueError(
+            f"{what} must be a length-N vector matching x's N={x.shape[0]}, "
+            f"got shape {y.shape}"
+        )
+    return x, y
 
 
 def sq_distances(x1, x2=None):

@@ -225,3 +225,22 @@ def test_logml_jit_and_vmap(rng):
     stacked = jax.tree_util.tree_map(lambda a: jnp.stack([a, a * 1.1]), p)
     vals = jax.vmap(lambda pp: gp.log_marginal_likelihood(pp, x, y))(stacked)
     assert vals.shape == (2,)
+
+
+def test_friendly_shape_errors(rng):
+    """Mismatched inputs raise readable ValueErrors, not raw broadcast
+    failures (ROADMAP: friendlier input validation)."""
+    import pytest as _pytest
+
+    p = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    x = jnp.asarray(rng.uniform(-5, 5, size=(20, 1)))
+    y_bad = jnp.asarray(rng.normal(size=19))
+    with _pytest.raises(ValueError, match="length-N vector"):
+        gp.log_marginal_likelihood(p, x, y_bad)
+    with _pytest.raises(ValueError, match="length-N vector"):
+        gp.logml_value_and_grad(p, x, y_bad)
+    with _pytest.raises(ValueError, match="length-N vector"):
+        gp.fit(p, x, y_bad, x)
+    from gpx.ops.distance import as_locations
+    with _pytest.raises(ValueError, match="locations"):
+        as_locations(jnp.zeros((2, 3, 4)))
