@@ -31,6 +31,11 @@ fit_dlm_gp:
 mnist:
 	python examples/mnist_classify.py
 
+large_n:
+	python examples/large_n.py dense
+	python examples/large_n.py iterative
+	python examples/large_n.py svgp
+
 test:
 	python -m pytest tests/ -q
 
@@ -43,4 +48,4 @@ bench:
 
 .PHONY: simulated hmc_simulated posterior_predictive fit_temp_gp \
 	krig_temperature fit_temp_dlm forecast_temperature_dlm fit_dlm_gp \
-	mnist test test-tpu bench
+	mnist large_n test test-tpu bench
