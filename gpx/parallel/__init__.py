@@ -9,10 +9,13 @@ The reference's only parallelism is 2 MCMC chains on JVM threads
 """
 
 from gpx.parallel.dist_chol import (
+    distributed_back_solve,
     distributed_cholesky,
     distributed_forward_solve,
     distributed_half_logdet,
     distributed_logml,
+    distributed_logml_value_and_grad,
+    distributed_predict,
 )
 from gpx.parallel.mesh import make_mesh
 from gpx.parallel.sharded import (
@@ -24,10 +27,13 @@ from gpx.parallel.sharded import (
 )
 
 __all__ = [
+    "distributed_back_solve",
     "distributed_cholesky",
     "distributed_forward_solve",
     "distributed_half_logdet",
     "distributed_logml",
+    "distributed_logml_value_and_grad",
+    "distributed_predict",
     "make_mesh",
     "sharded_gram",
     "sharded_logml",
