@@ -85,6 +85,15 @@ def profile_gp_stages(params, x, y, *, nugget: float = 1e-3, reps: int = 5):
     _ = solve_fn(l, y), tri_fn(l), vag_fn(params)
     jax.block_until_ready(_)
 
+    # the fused (power-of-2 N, TPU) path's factorization stage
+    n = x.shape[0]
+    ci_fn = None
+    if jax.default_backend() == "tpu" and n >= 4096 and (n & (n - 1)) == 0:
+        from gpx.ops.pallas_chol import chol_inv
+
+        ci_fn = jax.jit(chol_inv)
+        jax.block_until_ready(ci_fn(k))
+
     for _ in range(reps):
         with timer.stage("gram"):
             jax.block_until_ready(gram_fn())
@@ -94,6 +103,9 @@ def profile_gp_stages(params, x, y, *, nugget: float = 1e-3, reps: int = 5):
             jax.block_until_ready(solve_fn(l, y))
         with timer.stage("tri_inverse"):
             jax.block_until_ready(tri_fn(l))
+        if ci_fn is not None:
+            with timer.stage("pallas_chol_inv"):
+                jax.block_until_ready(ci_fn(k))
         with timer.stage("logml_value_and_grad"):
             jax.block_until_ready(vag_fn(params))
     return timer

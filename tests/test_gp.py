@@ -244,3 +244,19 @@ def test_friendly_shape_errors(rng):
     from gpx.ops.distance import as_locations
     with _pytest.raises(ValueError, match="locations"):
         as_locations(jnp.zeros((2, 3, 4)))
+
+
+def test_analytic_vjp_wrapper_matches_autodiff(rng):
+    """gp.log_marginal_likelihood_analytic_vjp: value + jax.grad equal the
+    plain autodiff likelihood (the sampler-facing custom_vjp route)."""
+    p = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    x = jnp.asarray(rng.uniform(-5, 5, size=(40, 1)))
+    y = jnp.asarray(rng.normal(size=40))
+    f = gp.log_marginal_likelihood_analytic_vjp(x, y)
+    v1 = float(f(p))
+    v2 = float(gp.log_marginal_likelihood(p, x, y))
+    np.testing.assert_allclose(v1, v2, rtol=1e-10)
+    g1 = jax.grad(lambda q: f(q))(p)
+    g2 = jax.grad(lambda q: gp.log_marginal_likelihood(q, x, y))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-8, atol=1e-10)

@@ -130,3 +130,21 @@ def test_mh_within_gibbs_plane_mean():
     assert abs(np.median(beta0) - 2.0) < 1.5
     assert abs(np.median(beta1) - 0.4) < 0.3
     assert (np.asarray(post.accept_rate) > 0.02).all()
+
+
+def test_hmc_analytic_gradients_recovery():
+    """analytic_gradients=True (custom_vjp fused path) must sample the same
+    posterior as the autodiff route — the large-N sampler configuration."""
+    x, y, truth = _simulate(jax.random.PRNGKey(2))
+    template = Parameters(mean=zero(), kernel=se(2.0, 2.0) + white(1.0))
+    post = sample_hmc(
+        jax.random.PRNGKey(3), x, y, template, _log_prior,
+        n_samples=300, burn_in=100, n_chains=2, l=10, warmup_iters=120,
+        analytic_gradients=True,
+    )
+    assert np.isfinite(np.asarray(post.flat)).all()
+    assert (np.asarray(post.accept_rate) > 0.5).all()
+    pooled = np.asarray(post.flat.reshape(-1, 3))
+    lo, hi = np.percentile(pooled, [2.5, 97.5], axis=0)
+    for truth_v, l, u in zip([3.0, 5.5, 0.5], lo, hi):
+        assert l < truth_v < u, (truth_v, l, u)
