@@ -319,7 +319,6 @@ def sample_nuts(
 
     (result, extras) = jax.vmap(run_one)(random.split(k_run, n_chains), inits)
     positions, depths = result.samples
-    result = result._replace(samples=positions)
     extras = dict(extras, depth=depths)
     return _package(
         template, template.bijectors(), unravel, positions,

@@ -64,6 +64,16 @@ class Kernel:
         the requirement for the fused Pallas paths."""
         return True
 
+    @property
+    def pallas_safe(self) -> bool:
+        """True when ``evaluate_r2`` (and its ``jax.grad``) can run INSIDE a
+        Mosaic kernel body. General-nu Matérn is excluded: its Bessel K_nu
+        is a 25-iteration series/continued-fraction loop whose reverse-mode
+        residual stack is O(iters * bt^2) per tile — far over VMEM on chip
+        (review finding; interpret mode hides it). Such kernels use the XLA
+        fallbacks instead."""
+        return True
+
     def evaluate(self, d):
         """Kernel value at (non-squared) distance ``d`` — the reference's
         ``Double => Double`` covFn view (KernelFunction.scala:47-55)."""
@@ -187,6 +197,10 @@ class Matern(Kernel):
         val = const * s_safe**self.nu * kv(self.nu, s_safe)
         return self.sigma * jnp.where(zero, jnp.ones_like(val), val)
 
+    @property
+    def pallas_safe(self) -> bool:
+        return self._half_integer_p is not None
+
     def bijectors(self):
         return Matern(sigma=bij.positive, l=bij.positive, nu=self.nu)
 
@@ -288,6 +302,10 @@ class Sum(Kernel):
     def is_stationary(self) -> bool:
         return all(k.is_stationary for k in self.kernels)
 
+    @property
+    def pallas_safe(self) -> bool:
+        return all(k.pallas_safe for k in self.kernels)
+
     def bijectors(self):
         return Sum(tuple(k.bijectors() for k in self.kernels))
 
@@ -314,6 +332,10 @@ class Product(Kernel):
     @property
     def is_stationary(self) -> bool:
         return all(k.is_stationary for k in self.kernels)
+
+    @property
+    def pallas_safe(self) -> bool:
+        return all(k.pallas_safe for k in self.kernels)
 
     def bijectors(self):
         return Product(tuple(k.bijectors() for k in self.kernels))

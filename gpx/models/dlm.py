@@ -312,7 +312,7 @@ def conjugate_filter(model: DLM, ys, w_star, m0, c0, prior_v: InverseGamma):
         # a no-op and the masked diagonal is exactly the unit pseudo-variance
         v_star = jnp.eye(d_obs, dtype=r.dtype)
         q = f_eff @ r @ f_eff.T + v_star
-        e = jnp.where(mask, jnp.where(mask, y, 0.0) - fhat, 0.0)
+        e = jnp.where(mask, y - fhat, 0.0)
 
         q_chol = _chol_psd(q)
         u = jax.scipy.linalg.solve_triangular(q_chol, e, lower=True)

@@ -152,7 +152,7 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
     r = y - mean_val
 
     fused = (jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096
-             and params.kernel.is_stationary)
+             and params.kernel.is_stationary and params.kernel.pallas_safe)
     if fused:
         # Factor + invert in one Pallas-backed recursion when the shape
         # allows (power-of-2 N): chol_inv runs the whole O(N^3) bulk at
@@ -284,6 +284,7 @@ def fit(
         and n >= 4096
         and (n & (n - 1)) == 0
         and params.kernel.is_stationary
+        and params.kernel.pallas_safe
         and not full_cov
     )
     if fused:

@@ -275,11 +275,17 @@ def _pcg_tridiag(matvec, z, m: int, precond):
         denom = jnp.sum(p * ap, axis=0)
         ok = active & (denom > 0.0) & jnp.isfinite(denom)
         a = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 1.0)
-        r_new = r - a[None, :] * ap
+        # STICKY freeze: a broken-down column (converged or non-SPD
+        # breakdown) must keep r/p/rz unchanged — then every later
+        # iteration sees the same state, stays non-ok, and keeps emitting
+        # the (1, 0) identity extension. Updating r with the a=1.0 filler
+        # instead lets the column 'recover' and emit garbage T entries
+        # (found by review: reproduced on a diag(-1, 2, 3) system).
+        r_new = jnp.where(ok[None, :], r - a[None, :] * ap, r)
         z_new = m_inv(r_new)
-        rz_new = jnp.sum(r_new * z_new, axis=0)
+        rz_new = jnp.where(ok, jnp.sum(r_new * z_new, axis=0), rz)
         b = jnp.where(ok, rz_new / jnp.maximum(rz, tiny), 0.0)
-        p_new = z_new + b[None, :] * p
+        p_new = jnp.where(ok[None, :], z_new + b[None, :] * p, p)
         t_diag = jnp.where(ok, 1.0 / a + b_prev / a_prev, 1.0)
         t_off = jnp.where(ok, jnp.sqrt(jnp.maximum(b, 0.0)) / a, 0.0)
         return (x_unused, r_new, p_new, rz_new, a, b), (t_diag, t_off)

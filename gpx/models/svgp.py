@@ -33,15 +33,9 @@ from gpx.ops.chol import cholesky, forward_solve
 from gpx.ops.distance import as_locations
 from gpx.params import Parameters
 
-JITTER = 1e-6          # f64 lane
-JITTER_F32 = 1e-4      # f32 needs ~eps-scaled regularization: near-duplicate
-                       # inducing points make Kuu singular beyond f32 at 1e-6
-                       # (measured: NaN Cholesky on chip with 64 inducing
-                       # points drawn from 4096 clustered training inputs)
-
-
-def _jitter(dtype) -> float:
-    return JITTER if jnp.finfo(dtype).bits >= 64 else JITTER_F32
+from gpx.models.sparse import JITTER, JITTER_F32, _jitter  # noqa: F401
+# (single source of truth for the Kuu regularization policy — see
+# gpx.models.sparse for the measured f32 rationale)
 
 
 class SVGPState(NamedTuple):

@@ -28,8 +28,10 @@ f64 over x in [1e-6, 30], nu in (0, 10].
 
 from __future__ import annotations
 
+import functools
 import math
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -133,9 +135,17 @@ def _cf2(x, xmu: float, dtype):
     return rkmu, rk1
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
 def kv(nu: float, x):
     """``K_nu(x)`` for static real ``nu`` (any sign; ``K_{-nu} = K_nu``) and
-    array ``x > 0``."""
+    array ``x > 0``.
+
+    Derivatives come from the exact recurrence ``d K_nu / dx =
+    -(K_{nu-1} + K_{nu+1}) / 2`` (custom_jvp below) — two extra forward
+    evaluations instead of differentiating through the 25-iteration
+    series/continued-fraction loops, whose stacked reverse-mode residuals
+    are O(iters * N^2) (measured: 23 GB of f32[25,4096,4096] HLO temps at
+    N=4096, an HBM OOM)."""
     nu = abs(float(nu))
     x = jnp.asarray(x)
     dtype = x.dtype
@@ -157,3 +167,12 @@ def kv(nu: float, x):
     for i in range(1, nl + 1):
         rkmu, rk1 = rk1, (xmu + i) * xi2 * rk1 + rkmu
     return rkmu
+
+
+@kv.defjvp
+def _kv_jvp(nu, primals, tangents):
+    (x,), (dx,) = primals, tangents
+    k = kv(nu, x)
+    # K_{-a} = K_a handled inside kv; the identity holds for any real nu
+    dkdx = -0.5 * (kv(nu - 1.0, x) + kv(nu + 1.0, x))
+    return k, dkdx * dx

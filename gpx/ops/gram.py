@@ -35,6 +35,11 @@ def gram(kernel, x, x2=None, *, nugget: float = 0.0, method: str = "auto"):
     if method == "pallas":
         if not kernel.is_stationary:
             raise ValueError("pallas gram requires a stationary kernel")
+        if not kernel.pallas_safe:
+            raise ValueError(
+                "kernel is not pallas-safe (e.g. general-nu Matern's "
+                "iterative Bessel); use method='xla'"
+            )
         from gpx.ops.pallas_gram import pallas_gram
 
         # off-TPU an explicit pallas request runs interpreted (slow but
@@ -55,7 +60,8 @@ def _auto_method(kernel, x, x2) -> str:
     # the fused XLA path at 16k x 16k, break-even near 8k); XLA's fused jnp
     # path wins below that and is the only option off-TPU and for
     # non-stationary kernels.
-    if jax.default_backend() != "tpu" or not kernel.is_stationary:
+    if (jax.default_backend() != "tpu" or not kernel.is_stationary
+            or not kernel.pallas_safe):
         return "xla"
     n = x.shape[0]
     m = n if x2 is None else x2.shape[0]

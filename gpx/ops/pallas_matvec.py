@@ -88,6 +88,7 @@ def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
     use_pallas = (
         (jax.default_backend() == "tpu" or interpret)
         and kernel.is_stationary
+        and kernel.pallas_safe
         and n % bt == 0
         and r <= 512
     )
@@ -188,6 +189,7 @@ def cross_matvec(kernel, x1, x2, v, *, bt: int = _BT,
     use_pallas = (
         (jax.default_backend() == "tpu" or interpret)
         and kernel.is_stationary
+        and kernel.pallas_safe
         and n1 % bt == 0
         and n2 % bt == 0
         and r <= 512

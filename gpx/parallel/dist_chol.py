@@ -23,6 +23,7 @@ exact logML where no chip ever materializes the full K or L
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -48,7 +49,6 @@ def distributed_cholesky(k, mesh: Mesh, *, axis: str = "data",
             f"N={n} must split into {d} row shards of panel-multiple size "
             f"(panel={panel})"
         )
-    n_panels = n // panel
 
     body = partial(chol_body, axis=axis, n=n, panel=panel)
     return jax.shard_map(
@@ -99,11 +99,6 @@ def chol_body(k_loc, *, axis: str, n: int, panel: int = 128):
 
 def distributed_half_logdet(l_sharded, mesh: Mesh, *, axis: str = "data"):
     """``sum log diag(L)`` with L row-sharded: local gather + psum."""
-    n = l_sharded.shape[-1]
-    d = mesh.shape[axis]
-    rows_per = n // d
-
-    del rows_per
     body = partial(half_logdet_body, axis=axis)
     return jax.shard_map(
         body, mesh=mesh, in_specs=P(axis, None), out_specs=P()
@@ -130,10 +125,6 @@ def distributed_forward_solve(l_sharded, b, mesh: Mesh, *, axis: str = "data",
     rows_per = n // d
     if rows_per % panel:
         raise ValueError("panel must divide the per-device row count")
-    n_panels = n // panel
-    panels_per_dev = rows_per // panel
-
-    del n_panels, panels_per_dev
     body = partial(forward_solve_body, axis=axis, n=n, panel=panel)
     return jax.shard_map(
         body, mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P()
@@ -377,14 +368,23 @@ def distributed_logml_value_and_grad(params, x, y, mesh: Mesh, *,
     panel's ``all_gather`` is a reduce-scatter and of each ``psum`` a
     broadcast, so the backward pass rides ICI exactly like the forward
     (no gather of K anywhere). Runs under ``jit``: eager shard_map
-    transposition trips a sharding-override assertion in jax 0.9."""
+    transposition trips a sharding-override assertion in jax 0.9. The
+    jitted function is cached per (mesh, axis, nugget, panel) so repeated
+    calls (optimizer/sampler loops) hit jit's trace cache instead of
+    recompiling a fresh lambda every time (review finding; compiles cost
+    30-120 s in this environment)."""
+    return _dlvg_jitted(mesh, axis, float(nugget), int(panel))(params, x, y)
+
+
+@functools.lru_cache(maxsize=None)
+def _dlvg_jitted(mesh, axis, nugget, panel):
     return jax.jit(
         jax.value_and_grad(
-            lambda p: distributed_logml(
+            lambda p, x, y: distributed_logml(
                 p, x, y, mesh, axis=axis, nugget=nugget, panel=panel
             )
         )
-    )(params)
+    )
 
 
 def distributed_logml(params, x, y, mesh: Mesh, *, axis: str = "data",

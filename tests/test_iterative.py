@@ -254,3 +254,21 @@ def test_fit_iterative_matches_dense(rng):
     np.testing.assert_allclose(
         np.asarray(it2.mean), np.asarray(dense.mean), atol=1e-6
     )
+
+
+def test_pcg_tridiag_freeze_is_sticky(rng):
+    """A broken-down column (non-SPD curvature) must emit the (1, 0)
+    identity extension for ALL remaining iterations — a non-sticky freeze
+    let it 'recover' and emit garbage T entries (review finding)."""
+    from gpx.models.gp_iterative import _pcg_tridiag
+
+    k = jnp.diag(jnp.asarray([-1.0, 2.0, 3.0]))   # indefinite on purpose
+    z = jnp.asarray(rng.normal(size=(3, 2)))
+    t_diags, t_offs = _pcg_tridiag(lambda v: k @ v, z, 6, lambda v: v)
+    assert np.isfinite(np.asarray(t_diags)).all()
+    assert np.isfinite(np.asarray(t_offs)).all()
+    # every column breaks down (or converges) within 3 exact-arithmetic
+    # steps on a 3x3 system; after that only the identity extension may
+    # appear: diag 1.0 and off-diag 0.0
+    np.testing.assert_allclose(np.asarray(t_diags)[4:], 1.0)
+    np.testing.assert_allclose(np.asarray(t_offs)[4:], 0.0)

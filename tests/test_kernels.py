@@ -248,3 +248,46 @@ def test_linear_kernel_nonstationary(rng):
     assert np.isfinite(np.asarray(s.mean)).all()
     with pytest.raises(ValueError):
         gram(k, x, method="pallas")
+
+
+def test_general_nu_matern_is_not_pallas_safe():
+    """General-nu Matern's iterative Bessel cannot run inside a Mosaic
+    kernel body (reverse-mode residuals blow VMEM — review finding): it
+    must be excluded from every Pallas dispatch and the explicit pallas
+    gram must reject it."""
+    from gpx import matern, se, white
+    from gpx.ops.gram import _auto_method
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    k_half = matern(1.0, 1.5, 2.0)            # closed form: safe
+    k_gen = matern(1.0, 0.8, 2.0)             # Bessel K_nu: not safe
+    assert k_half.pallas_safe
+    assert not k_gen.pallas_safe
+    assert not (se(1.0, 1.0) + k_gen).pallas_safe
+    assert not (se(1.0, 1.0) * k_gen).pallas_safe
+    assert (se(1.0, 1.0) + white(0.5)).pallas_safe
+
+    x = jnp.linspace(-1, 1, 64).reshape(-1, 1)
+    with _pytest.raises(ValueError, match="pallas-safe"):
+        k_gen.gram(x, method="pallas")
+
+
+def test_besselk_custom_jvp_matches_finite_differences():
+    """kv's gradient comes from the exact recurrence d K_nu/dx =
+    -(K_{nu-1} + K_{nu+1})/2 (custom_jvp) — autodiff through the iterative
+    loops stacked O(iters * N^2) reverse-mode residuals (23 GB HBM OOM at
+    N=4096, review finding)."""
+    import jax
+    import jax.numpy as jnp
+    from gpx.ops.besselk import kv
+
+    for nu in (0.3, 0.8, 1.7, 3.2):
+        x = jnp.asarray([0.5, 1.0, 2.5, 7.0])
+        g = jax.vmap(jax.grad(lambda t, nu=nu: kv(nu, t)))(x)
+        eps = 1e-6
+        fd = (
+            jax.vmap(lambda t: kv(nu, t))(x + eps)
+            - jax.vmap(lambda t: kv(nu, t))(x - eps)
+        ) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-6)
