@@ -1,0 +1,88 @@
+"""Persistent ahead-of-time executable cache.
+
+The environment's remote TPU compiler does not engage JAX's persistent
+compilation cache, so every process pays the full compile of every program
+shape (~20 s for a 2048 chol_inv, ~5 min for the fused N=16k logML path).
+``jax.experimental.serialize_executable`` round-trips compiled executables
+across processes here (measured: 20.6 s compile -> 0.1 s deserialize +
+instant first run, bit-identical outputs, Pallas kernels included), so this
+module keys serialized executables on a hash of the *lowered* StableHLO —
+tracing/lowering still runs per process (cheap, seconds), only the
+XLA/Mosaic compile is skipped.
+
+Usage::
+
+    f = cached_compile(lambda p: gp.logml_value_and_grad(p, x, y), params)
+    out = f(params)
+
+Cache entries are invalidated by anything that changes the lowered text
+(shapes, dtypes, program structure, jax version, backend); a cache that
+fails to deserialize (e.g. different runtime) falls back to a fresh
+compile and overwrites the entry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pathlib
+import pickle
+
+import jax
+
+_DEFAULT_DIR = pathlib.Path(
+    os.environ.get("GPX_AOT_CACHE_DIR", os.path.expanduser("~/.cache/gpx_aot"))
+)
+
+
+def _cache_key(lowered, extra: str) -> str:
+    h = hashlib.sha256()
+    h.update(lowered.as_text().encode())
+    h.update(jax.__version__.encode())
+    h.update(jax.default_backend().encode())
+    h.update(extra.encode())
+    return h.hexdigest()[:32]
+
+
+def cached_compile(fn, *args, cache_dir=None, key_extra: str = "", **kwargs):
+    """``jax.jit(fn)`` compiled with a persistent on-disk executable cache.
+
+    Returns the compiled executable (callable with the same arguments).
+    On a cache hit the XLA/Mosaic compile is skipped entirely; on a miss
+    (or a stale/undeserializable entry) it compiles and stores."""
+    from jax.experimental.serialize_executable import (
+        deserialize_and_load,
+        serialize,
+    )
+
+    cache_dir = pathlib.Path(cache_dir) if cache_dir else _DEFAULT_DIR
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+
+    # the deserialized executable binds to ALL local devices (the original
+    # device assignment is not preserved): on a multi-device backend the
+    # loaded program then demands per-device shards (measured on the
+    # 8-virtual-device CPU lane) — only cache on single-device backends
+    # (the one-chip TPU, where the compile cost lives anyway)
+    if len(jax.local_devices()) != 1:
+        return lowered.compile()
+
+    path = cache_dir / f"{_cache_key(lowered, key_extra)}.pkl"
+    if path.exists():
+        try:
+            with open(path, "rb") as fh:
+                payload, in_tree, out_tree = pickle.load(fh)
+            return deserialize_and_load(payload, in_tree, out_tree)
+        except Exception:
+            pass                         # stale/corrupt entry: recompile
+
+    compiled = lowered.compile()
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        payload, in_tree, out_tree = serialize(compiled)
+        tmp = path.with_suffix(".tmp")
+        with open(tmp, "wb") as fh:
+            pickle.dump((payload, in_tree, out_tree), fh)
+        os.replace(tmp, path)            # atomic publish
+    except Exception:
+        pass                             # cache is best-effort
+    return compiled

@@ -144,3 +144,27 @@ def test_profiling_harness():
 
     mean_s, result = timeit(jax.jit(lambda v: v * 2), jnp.ones(8), reps=3)
     assert mean_s >= 0 and float(result[0]) == 2.0
+
+
+def test_aot_cached_compile_multi_device_guard(tmp_path, rng):
+    """cached_compile only persists on single-device backends: a
+    deserialized executable binds to all local devices, so on this
+    8-virtual-device lane the guard must skip the cache entirely while
+    still returning a working compiled function. (The hit path is
+    chip-verified in tests_tpu/test_chip.py.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from gpx.utils.aot import cached_compile
+
+    x = jnp.asarray(rng.normal(size=(64, 64)))
+
+    def f(a):
+        return jnp.sin(a) @ a.T
+
+    c1 = cached_compile(f, x, cache_dir=tmp_path)
+    out1 = c1(x)
+    assert list(tmp_path.glob("*.pkl")) == []     # no cache written
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(jnp.sin(x) @ x.T), rtol=1e-12
+    )

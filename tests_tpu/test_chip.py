@@ -114,3 +114,30 @@ def test_trmm_and_syrk_compiled(rng):
     il = jnp.tril_indices(n)
     err = float(jnp.abs(got_s[il] - want_s[il]).max())
     assert err < tol * float(jnp.abs(want_s).max())
+
+
+def test_aot_cache_roundtrip(tmp_path, rng):
+    """Persistent executable cache on the chip: second cached_compile with
+    the same program loads the serialized executable (no recompile) and
+    produces identical results."""
+    import time
+
+    from gpx.utils.aot import cached_compile
+
+    x = jnp.asarray(rng.normal(size=(512, 512)), jnp.float32)
+
+    def f(a):
+        return jnp.sin(a) @ a.T
+
+    c1 = cached_compile(f, x, cache_dir=tmp_path)
+    out1 = c1(x)
+    jax.block_until_ready(out1)
+    assert len(list(tmp_path.glob("*.pkl"))) == 1
+    t0 = time.time()
+    c2 = cached_compile(f, x, cache_dir=tmp_path)
+    out2 = c2(x)
+    jax.block_until_ready(out2)
+    # a fresh compile through the remote compiler takes seconds; the
+    # cached load is sub-second
+    assert time.time() - t0 < 2.0
+    assert jnp.array_equal(out1, out2)
