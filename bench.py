@@ -42,7 +42,21 @@ def main():
     y = jnp.asarray(rng.normal(size=N), jnp.float32)
 
     # --- per-call timing -------------------------------------------------
-    f = jax.jit(lambda p: gp.logml_value_and_grad(p, x, y))
+    # persistent AOT cache (gpx.utils.aot): on repeat runs the ~5 min
+    # compile of this program shape is replaced by a sub-second load of
+    # the serialized executable (identical outputs — chip-verified);
+    # disable with GPX_AOT_CACHE=0
+    def _compile(fn, *args):
+        if os.environ.get("GPX_AOT_CACHE", "1") != "0":
+            try:
+                from gpx.utils.aot import cached_compile
+
+                return cached_compile(fn, *args)
+            except Exception:
+                pass
+        return jax.jit(fn)
+
+    f = _compile(lambda p: gp.logml_value_and_grad(p, x, y), params)
     out = f(params)
     jax.block_until_ready(out)
 
@@ -68,7 +82,7 @@ def main():
         v, g = gp.logml_value_and_grad(p, x, y)
         return jnp.tanh(v) * 1e-6, v
 
-    f_scan = jax.jit(
+    f_scan = _compile(
         lambda: jax.lax.scan(one, jnp.float32(0.0), None, length=REPS)
     )
     vals = f_scan()
