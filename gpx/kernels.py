@@ -38,6 +38,22 @@ from gpx import bijectors as bij
 from gpx.utils.pytree import pytree_dataclass
 
 
+def _safe_dist(r2):
+    """``sqrt(r2)`` with a finite gradient at ``r2 == 0``.
+
+    ``d(sqrt)/d(r2)`` diverges at 0, so a plain ``sqrt(maximum(r2, 0))``
+    produces ``0 * inf = NaN`` cotangents whenever a pairwise squared
+    distance is exactly zero — e.g. gradients w.r.t. inducing-point
+    locations initialised on training points (``svgp.train`` with
+    ``train_inducing=True``). The double-``where`` evaluates the sqrt on a
+    safe input and pins both value and gradient to 0 at coincident points
+    (for ``nu < 1`` the kernel is genuinely non-differentiable there; 0 is
+    the standard subgradient choice, as in GPflow/GPyTorch)."""
+    zero = r2 <= 0.0
+    r2_safe = jnp.where(zero, jnp.ones_like(r2), r2)
+    return jnp.where(zero, jnp.zeros_like(r2), jnp.sqrt(r2_safe))
+
+
 class Kernel:
     """Base mixin for covariance kernels.
 
@@ -174,7 +190,7 @@ class Matern(Kernel):
         return int(round(p)) if abs(p - round(p)) < 1e-12 else None
 
     def evaluate_r2(self, r2):
-        d = jnp.sqrt(jnp.maximum(r2, 0.0))
+        d = _safe_dist(r2)
         s = (math.sqrt(2.0 * self.nu) / self.l) * d
         p = self._half_integer_p
         if p is not None:
@@ -248,7 +264,7 @@ class Periodic(Kernel):
     l: jnp.ndarray
 
     def evaluate_r2(self, r2):
-        d = jnp.sqrt(jnp.maximum(r2, 0.0))
+        d = _safe_dist(r2)
         s = jnp.sin(jnp.pi * d / self.period)
         return self.h * jnp.exp(-2.0 * (s * s) / (self.l * self.l))
 

@@ -376,8 +376,11 @@ def distributed_logml_value_and_grad(params, x, y, mesh: Mesh, *,
     return _dlvg_jitted(mesh, axis, float(nugget), int(panel))(params, x, y)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def _dlvg_jitted(mesh, axis, nugget, panel):
+    # bounded: keyed by Mesh, so an unbounded cache would pin every mesh a
+    # long-lived driver ever constructs (plus its compiled program) for the
+    # process lifetime; 16 covers any realistic set of live meshes
     return jax.jit(
         jax.value_and_grad(
             lambda p, x, y: distributed_logml(

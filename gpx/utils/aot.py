@@ -40,6 +40,20 @@ def _cache_key(lowered, extra: str) -> str:
     h.update(lowered.as_text().encode())
     h.update(jax.__version__.encode())
     h.update(jax.default_backend().encode())
+    # device kind + jaxlib/runtime identifiers: a cache dir shared across
+    # chip revisions or a remote-compiler update must not deserialize a
+    # mismatched executable (deserialization does not always raise)
+    try:
+        h.update(jax.devices()[0].device_kind.encode())
+    except Exception:
+        pass
+    try:
+        import jaxlib
+
+        h.update(getattr(jaxlib, "__version__", "").encode())
+    except Exception:
+        pass
+    h.update(getattr(jax.lib, "xla_extension_version", 0).__repr__().encode())
     h.update(extra.encode())
     return h.hexdigest()[:32]
 

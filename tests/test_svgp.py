@@ -86,6 +86,35 @@ def test_optimal_state_at_z_eq_x_matches_sgpr_bound(rng):
     assert -float(val) > collapsed - 0.05 * abs(collapsed) - 2.0
 
 
+def test_matern_gradient_finite_at_coincident_points(rng):
+    """Regression (round-3 advisor): Matern location-gradients NaN'd when a
+    pairwise squared distance was exactly 0 (0*inf through d = sqrt(r2)),
+    which svgp.train hit because init_inducing places z ON training points.
+    The _safe_dist double-where keeps them finite."""
+    from gpx import matern
+
+    x, y, _, _, noise = _setup(rng, n=60)
+    for nu in (0.5, 1.5, 2.5, 1.7):   # half-integer closed forms + Bessel
+        k = matern(1.0, nu, 2.0)
+        z = x[:10]                    # exactly coincident with training pts
+
+        def cross_sum(zz):
+            return jnp.sum(k.gram(zz, x))
+
+        g = jax.grad(cross_sum)(z)
+        assert np.isfinite(np.asarray(g)).all(), f"nu={nu}"
+
+    # end-to-end: a few svgp.train steps with Matern stay finite
+    p = Parameters(mean=zero(), kernel=matern(1.0, 1.5, 2.0))
+    z0 = sparse.init_inducing(jax.random.PRNGKey(2), x, 10)
+    params, z_out, state, _, trace = svgp.train(
+        jax.random.PRNGKey(3), p, z0, x, y,
+        noise=noise, batch_size=30, steps=30, learning_rate=1e-2,
+    )
+    assert np.isfinite(np.asarray(trace)).all()
+    assert np.isfinite(np.asarray(z_out)).all()
+
+
 def test_train_recovers_fit(rng):
     """End-to-end minibatched training: the predictive tracks the exact GP
     posterior mean on held-out points."""
