@@ -33,6 +33,17 @@ from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def _zeros_vma(shape, ref, minus=()):
+    """Zeros of ``shape`` carrying ``ref``'s varying-manual-axes annotation
+    (optionally minus the axes in ``minus``) — fori_loop/scan carries under
+    ``shard_map`` must enter the loop with the vma set they acquire inside
+    it: device-varying data flows in through ``axis_index`` selects and the
+    sharded operands, while a ``psum`` over an axis removes it."""
+    z = jnp.zeros(shape, ref.dtype)
+    vma = tuple(jax.typeof(ref).vma - set(minus))
+    return lax.pcast(z, vma, to="varying") if vma else z
+
+
 def distributed_cholesky(k, mesh: Mesh, *, axis: str = "data",
                          panel: int = 128):
     """Lower Cholesky factor of SPD ``k``, computed with ``k`` row-sharded
@@ -56,42 +67,67 @@ def distributed_cholesky(k, mesh: Mesh, *, axis: str = "data",
     )(k)
 
 
-def chol_body(k_loc, *, axis: str, n: int, panel: int = 128):
+def chol_body(k_loc, *, axis: str, n: int, panel: int = 128,
+              stages: int = 8):
     """Per-device body of :func:`distributed_cholesky` — callable inside
     ANY ``shard_map`` whose mesh has ``axis`` (e.g. nested under a chains
-    axis, gpx.parallel.sharded.sample_mh_2d)."""
+    axis, gpx.parallel.sharded.sample_mh_2d).
+
+    Panels run in a ``lax.fori_loop`` (static trip count -> scan under the
+    hood, so reverse-mode AD through the factorization still works) grouped
+    into at most ``stages`` statically-shaped stages: XLA needs static
+    shapes inside the loop, so the trailing update of stage ``g`` spans the
+    fixed column slab ``[g*n/stages, n)`` with already-finished columns
+    masked to zero. Compile time is O(stages) regardless of ``n/panel``
+    (the round-2 version unrolled every panel in Python: 128 unrolled
+    bodies at the production N=16k/panel=128 point blew up compile), at
+    the cost of a ~(1 + 1/stages)/2 factor of extra masked update MACs."""
     rows_per = k_loc.shape[0]
     n_panels = n // panel
     my = lax.axis_index(axis)
     row0 = my * rows_per
+    g_count = min(stages, n_panels)
+    while n_panels % g_count:
+        g_count -= 1
+    pps = n_panels // g_count                      # panels per stage
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
     a = k_loc
-    for p in range(n_panels):
-        s, e = p * panel, (p + 1) * panel
-        # 1. gather the current panel column block (already updated by
-        #    all previous panels' trailing updates)
-        full_col = lax.all_gather(a[:, s:e], axis, tiled=True)  # (N, panel)
-        # 2. redundant small factorization on every chip
-        l_pp = jnp.linalg.cholesky(full_col[s:e])
-        below = full_col[e:]                                    # (N-e, panel)
-        l_below = solve_triangular(l_pp, below.T, lower=True).T
-        l_col = jnp.concatenate(
-            [
-                jnp.zeros((s, panel), a.dtype),
-                l_pp,
-                l_below,
-            ],
-            axis=0,
-        )                                                        # (N, panel)
-        l_col_loc = lax.dynamic_slice_in_dim(l_col, row0, rows_per, 0)
-        a = a.at[:, s:e].set(l_col_loc)
-        # 3. local trailing update of owned rows (rows above the panel
-        #    only touch the dead upper triangle, masked at the end)
-        if e < n:
-            a = a.at[:, e:].add(
-                -jnp.matmul(
-                    l_col_loc, l_below.T, preferred_element_type=a.dtype
-                )
+    for g in range(g_count):
+        cs = g * pps * panel                       # static slab start
+        w = n - cs                                 # static slab width
+
+        def stage_body(q, a, *, g=g, cs=cs, w=w):
+            p = g * pps + q
+            s = p * panel
+            e = s + panel
+            # 1. gather the current panel column block (already updated
+            #    by all previous panels' trailing updates)
+            col_loc = lax.dynamic_slice(a, (0, s), (rows_per, panel))
+            full_col = lax.all_gather(col_loc, axis, tiled=True)  # (N, panel)
+            # 2. redundant small factorization on every chip; the trsm
+            #    runs over all N rows (static shape) — rows outside
+            #    [e, N) are masked off below
+            diag = lax.dynamic_slice(full_col, (s, 0), (panel, panel))
+            l_pp = jnp.linalg.cholesky(diag)
+            sol = solve_triangular(l_pp, full_col.T, lower=True).T
+            l_below = jnp.where(rows >= e, sol, 0.0)              # (N, panel)
+            l_col = lax.dynamic_update_slice(l_below, l_pp, (s, 0))
+            l_col_loc = lax.dynamic_slice_in_dim(l_col, row0, rows_per, 0)
+            a = lax.dynamic_update_slice(a, l_col_loc, (0, s))
+            # 3. local trailing update of owned rows over the stage's
+            #    static column slab; l_below's zeroed rows < e make the
+            #    already-finished columns of the slab a no-op (rows above
+            #    the panel only touch the dead upper triangle, masked at
+            #    the end)
+            below_slab = lax.slice_in_dim(l_below, cs, n, axis=0)  # (w, panel)
+            upd = jnp.matmul(
+                l_col_loc, below_slab.T, preferred_element_type=a.dtype
             )
+            slab = lax.dynamic_slice(a, (0, cs), (rows_per, w))
+            return lax.dynamic_update_slice(a, slab - upd, (0, cs))
+
+        a = lax.fori_loop(0, pps, stage_body, a, unroll=False)
     rows_g = row0 + lax.broadcasted_iota(jnp.int32, (rows_per, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     return jnp.where(cols > rows_g, jnp.zeros_like(a), a)
@@ -138,11 +174,15 @@ def forward_solve_body(l_loc, b_rep, *, axis: str, n: int, panel: int = 128):
     panels_per_dev = rows_per // panel
     my = lax.axis_index(axis)
     row0 = my * rows_per
-    # residual z for OWNED rows; u assembled replicated panel by panel
-    z_loc = lax.dynamic_slice_in_dim(b_rep, row0, rows_per, 0)
-    u = jnp.zeros((n,), l_loc.dtype)
+    # residual z for OWNED rows; u assembled replicated panel by panel.
+    # lax.fori_loop (static trip count -> reverse-differentiable): compile
+    # time is O(1) in n_panels instead of the round-2 Python unroll.
+    z0 = (lax.dynamic_slice_in_dim(b_rep, row0, rows_per, 0)
+          + _zeros_vma((rows_per,), l_loc))
     eye = jnp.eye(panel, dtype=l_loc.dtype)
-    for p in range(n_panels):
+
+    def body(p, carry):
+        z_loc, u = carry
         s = p * panel
         owner = p // panels_per_dev
         local_off = (p % panels_per_dev) * panel
@@ -162,7 +202,11 @@ def forward_solve_body(l_loc, b_rep, *, axis: str, n: int, panel: int = 128):
         u = lax.dynamic_update_slice_in_dim(u, u_p, s, 0)
         # update local residuals for the solved panel's columns
         cols = lax.dynamic_slice(l_loc, (0, s), (rows_per, panel))
-        z_loc = z_loc - cols @ u_p
+        return z_loc - cols @ u_p, u
+
+    _, u = lax.fori_loop(
+        0, n_panels, body, (z0, _zeros_vma((n,), l_loc, minus=(axis,)))
+    )
     return u
 
 
@@ -215,10 +259,11 @@ def distributed_back_solve(l_sharded, b, mesh: Mesh, *, axis: str = "data",
     )
     def solve(l_loc, b_rep):
         my = lax.axis_index(axis)
-        z = b_rep                                  # replicated residual
-        a = jnp.zeros((n,), l_loc.dtype)
         eye = jnp.eye(panel, dtype=l_loc.dtype)
-        for p in reversed(range(n_panels)):
+
+        def body(i, carry):
+            z, a = carry
+            p = n_panels - 1 - i                   # reverse panel sweep
             s = p * panel
             owner = p // panels_per_dev
             local_off = (p % panels_per_dev) * panel
@@ -238,7 +283,13 @@ def distributed_back_solve(l_sharded, b, mesh: Mesh, *, axis: str = "data",
             upd = lax.psum(
                 jnp.where(my == owner, upd, jnp.zeros_like(upd)), axis
             )
-            z = z - jnp.where(col_idx < s, upd, 0.0)
+            return z - jnp.where(col_idx < s, upd, 0.0), a
+
+        _, a = lax.fori_loop(
+            0, n_panels, body,
+            (b_rep + _zeros_vma((n,), l_loc, minus=(axis,)),
+             _zeros_vma((n,), l_loc, minus=(axis,))),
+        )
         return a
 
     return solve(l_sharded, b)
@@ -265,10 +316,10 @@ def distributed_forward_solve_cols(l_sharded, b_sharded, mesh: Mesh, *,
     )
     def solve(l_loc, b_loc):
         my = lax.axis_index(axis)
-        z_loc = b_loc                              # (rows_per, m) residual
-        a_loc = jnp.zeros((rows_per, m), l_loc.dtype)
         eye = jnp.eye(panel, dtype=l_loc.dtype)
-        for p in range(n_panels):
+
+        def body(p, carry):
+            z_loc, a_loc = carry
             s = p * panel
             owner = p // panels_per_dev
             local_off = (p % panels_per_dev) * panel
@@ -283,7 +334,11 @@ def distributed_forward_solve_cols(l_sharded, b_sharded, mesh: Mesh, *,
             a_new = lax.dynamic_update_slice(a_loc, u_p, (local_off, 0))
             a_loc = jnp.where(my == owner, a_new, a_loc)
             cols = lax.dynamic_slice(l_loc, (0, s), (rows_per, panel))
-            z_loc = z_loc - cols @ u_p
+            return z_loc - cols @ u_p, a_loc
+
+        a0 = _zeros_vma((rows_per, m), l_loc)
+        z0 = b_loc + _zeros_vma((rows_per, m), l_loc)
+        _, a_loc = lax.fori_loop(0, n_panels, body, (z0, a0))
         return a_loc
 
     return solve(l_sharded, b_sharded)

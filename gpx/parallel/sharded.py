@@ -159,6 +159,7 @@ def sample_mh_2d(
     nugget: float = gp.LOGML_NUGGET,
     init_jitter: float = 0.1,
     panel: int = 128,
+    n_chains: int | None = None,
 ):
     """MH hyperparameter sampling on a 2-D ``(chains, data)`` mesh: chains
     spread over ``chains_axis`` while EVERY logML evaluation inside every
@@ -167,9 +168,11 @@ def sample_mh_2d(
     of SimulatedGp.scala:163-165's threaded chains to a mesh whose other
     axis also shards the O(N^2)/O(N^3) work).
 
-    ``n_chains = mesh.shape[chains_axis]`` chains (one per mesh row; the
-    embarrassing axis needs no more). Returns the same ``PosteriorSamples``
-    packaging as ``gpx.infer.mcmc.sample_mh``.
+    ``n_chains`` defaults to one chain per mesh row and may be any multiple
+    of ``mesh.shape[chains_axis]``: each row runs its ``k`` chains vmapped
+    (batched Grams/factorizations — better MXU utilization than ``k``
+    sequential sweeps), so e.g. a 2x4 mesh can run 8+ chains. Returns the
+    same ``PosteriorSamples`` packaging as ``gpx.infer.mcmc.sample_mh``.
     """
     from gpx.infer import base, mh
     from gpx.infer.mcmc import _disperse, _package
@@ -177,7 +180,13 @@ def sample_mh_2d(
 
     x = as_locations(x)
     n = x.shape[0]
-    n_chains = mesh.shape[chains_axis]
+    rows = mesh.shape[chains_axis]
+    n_chains = rows if n_chains is None else n_chains
+    if n_chains % rows:
+        raise ValueError(
+            f"n_chains ({n_chains}) must be a multiple of the chains axis "
+            f"({rows})"
+        )
     d_data = mesh.shape[data_axis]
     if n % d_data or (n // d_data) % panel:
         raise ValueError(
@@ -216,8 +225,7 @@ def sample_mh_2d(
 
         step = mh.kernel(log_posterior, mh.gaussian_random_walk(proposal_scale))
 
-        def one_chain(args):
-            k, f0 = args
+        def one_chain(k, f0):
             st = mh.init(f0, log_posterior)
             # constant-initialized state components (accept counter) are
             # 'unvarying' over the chains axis in shard_map's manual-axes
@@ -234,9 +242,10 @@ def sample_mh_2d(
             )
             return res.samples, res.accept_rate
 
-        # chains in this block run sequentially (lax.map -> scan): every
-        # device in a data row executes the identical collective schedule
-        return lax.map(one_chain, (keys_blk, inits_blk))
+        # the row's k chains run vmapped: the batched collectives keep an
+        # identical schedule on every device of the data row, and the
+        # Gram/Cholesky work arrives batched at the MXU
+        return jax.vmap(one_chain)(keys_blk, inits_blk)
 
     samples, accept = jax.jit(run)(keys, inits, x, y)
     return _package(template, bij_tree, unravel, samples, accept, {})

@@ -125,3 +125,51 @@ def test_sample_mh_2d_chains_times_data(rng):
         p_true, x, y, make_mesh(data=8), nugget=gp.LOGML_NUGGET, panel=32))
     ll_local = float(gp.log_marginal_likelihood(p_true, x, y))
     np.testing.assert_allclose(ll_dist, ll_local, rtol=1e-10)
+
+
+def test_sample_mh_2d_more_chains_than_rows(rng):
+    """n_chains > mesh rows (round-3 VERDICT 7): a 2x4 mesh runs 6 chains,
+    3 vmapped per row, matching the single-device sampler's posterior."""
+    from gpx.distributions import Gamma
+    from gpx.infer import mcmc
+    from gpx.parallel.sharded import sample_mh_2d
+
+    mesh = make_mesh(chains=2, data=4)
+    n = 128
+    x = jnp.asarray(np.sort(random_locations(rng, n, 1, scale=8.0), axis=0))
+    p_true = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    y = gp.draw(jax.random.PRNGKey(0), p_true, x, nugget=1e-6)
+
+    def log_prior(params):
+        g = Gamma(2.0, 2.0)
+        leaves = jax.tree_util.tree_leaves(params.kernel)
+        return sum(g.logpdf(leaf) for leaf in leaves)
+
+    post = sample_mh_2d(
+        jax.random.PRNGKey(1), x, y, p_true, log_prior, 120, mesh,
+        proposal_scale=0.12, burn_in=60, panel=16, n_chains=6,
+    )
+    flat = np.asarray(post.flat)
+    assert flat.shape[0] == 6 and flat.shape[1] == 120
+    assert np.isfinite(flat).all()
+    # all 6 chains distinct (different keys, different trajectories)
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert not np.allclose(flat[i], flat[j])
+    assert float(np.asarray(post.accept_rate).min()) > 0.01
+
+    # posterior agrees with the single-device sampler on the same model
+    ref = mcmc.sample_mh(
+        jax.random.PRNGKey(2), x, y, p_true, log_prior, 400,
+        n_chains=4, proposal_scale=0.12, burn_in=200,
+    )
+    got = flat.reshape(-1, flat.shape[-1]).mean(0)
+    want = np.asarray(ref.flat).reshape(-1, flat.shape[-1]).mean(0)
+    np.testing.assert_allclose(got, want, atol=0.75)
+
+    # invalid n_chains (not a multiple of the rows) is rejected
+    with pytest.raises(ValueError):
+        sample_mh_2d(
+            jax.random.PRNGKey(1), x, y, p_true, log_prior, 4, mesh,
+            panel=16, n_chains=3,
+        )
