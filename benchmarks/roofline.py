@@ -1,0 +1,111 @@
+"""Roofline microbenchmark: sustained MXU rates behind the PERF.md claims.
+
+Measures, on the real chip, the sustained throughput of exactly the
+kernels the N=16k north-star path is built from (gpx.ops.pallas_trmm /
+pallas_logml_grad), at the bench tile size (bt=512), next to XLA dense
+matmul references — so "the exact path is at the LAPACK MAC optimum x 3
+bf16 passes at the chip's sustained rate" is auditable, not asserted
+(round-3 VERDICT item 1a).
+
+Reported TF numbers count USEFUL MACs x 2 (the algorithmic flops of the
+triangular op), not the 3x bf16 passes — so a bf16x3 kernel showing
+~50 TF of useful f32-faithful throughput is sustaining ~150 TF of raw
+bf16 MXU issue.
+
+Run: ``python benchmarks/roofline.py [n]`` (default 8192; 16384 matches
+the bench point but doubles compile time).
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(f, *args, reps=5):
+    out = f(*args)                      # compile
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(*args)
+    jax.block_until_ready(out)
+    # forced consumer: block_until_ready on Pallas outputs has returned
+    # early on this platform (CLAUDE.md) — touch a scalar
+    _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+    return (time.time() - t0) / reps
+
+
+def main(n=8192):
+    print(f"device: {jax.devices()[0].device_kind}, n={n}")
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (n, n), jnp.float32)
+    lt = jnp.tril(a)
+
+    dense_macs = n * n * n
+
+    # XLA dense matmul: f32 (6-pass on this MXU), bf16 1-pass, and the
+    # 3-pass bf16x3 split the gpx kernels use
+    for name, f, macs, passes in [
+        ("xla f32 matmul (HIGHEST)",
+         jax.jit(lambda x, y: jax.lax.dot(
+             x, y, precision=jax.lax.Precision.HIGHEST)),
+         dense_macs, 6),
+        ("xla bf16 matmul (1-pass)",
+         jax.jit(lambda x, y: jax.lax.dot(
+             x.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+             preferred_element_type=jnp.float32)),
+         dense_macs, 1),
+    ]:
+        dt = _time(f, a, a)
+        tf = 2 * macs / dt / 1e12
+        print(f"{name:38s} {dt*1e3:8.1f} ms  {tf:6.1f} TF useful"
+              f"  (~{tf*passes:6.1f} TF raw MXU)")
+
+    from gpx.ops.pallas_trmm import syrk_lower, trmm
+
+    tri_macs = dense_macs // 2          # useful MACs of a triangular op
+    for name, f, macs in [
+        ("pallas trmm right_lower_t bf16x3",
+         jax.jit(lambda b, l: trmm(b, l, mode="right_lower_t")), tri_macs),
+        ("pallas trmm left_lower bf16x3",
+         jax.jit(lambda b, l: trmm(b, l, mode="left_lower")), tri_macs),
+        ("pallas syrk_lower bf16x3",
+         jax.jit(lambda x, b: syrk_lower(x, b)), tri_macs),
+    ]:
+        dt = _time(f, a, lt)
+        tf = 2 * macs / dt / 1e12
+        print(f"{name:38s} {dt*1e3:8.1f} ms  {tf:6.1f} TF useful"
+              f"  (~{tf*3:6.1f} TF raw MXU)")
+
+    # the fused gradient contraction (N^3/6 MACs x 3 passes)
+    from gpx import se, white
+    from gpx.ops.pallas_logml_grad import logml_kernel_grads
+
+    x = jnp.sort(jax.random.uniform(key, (n, 1)) * 30.0, axis=0)
+    alpha = jax.random.normal(key, (n,), jnp.float32)
+    kern = se(2.0, 3.0) + white(0.3)
+    for label, fast in [("exact bf16x3", False), ("fast bf16x2", True)]:
+        f = jax.jit(lambda li, fa=fast: jax.tree_util.tree_leaves(
+            logml_kernel_grads(kern, x, alpha, li, fast=fa))[0])
+        dt = _time(f, lt)
+        passes = 2 if fast else 3
+        tf = 2 * (dense_macs // 6) / dt / 1e12
+        print(f"fused logml grad contraction {label:12s} {dt*1e3:8.1f} ms"
+              f"  {tf:6.1f} TF useful  (~{tf*passes:6.1f} TF raw MXU)")
+
+    from gpx.ops.pallas_chol import chol_inv, chol_inv_tile
+
+    t = 2048
+    dt = _time(jax.jit(chol_inv_tile), lt[:t, :t])
+    print(f"chol_inv_tile base case ({t}^2)      {dt*1e3:8.1f} ms"
+          f"  ({n//t} of these per {n} factorization)")
+    dt = _time(jax.jit(chol_inv), a @ a.T / n + 2.0 * jnp.eye(n))
+    macs = dense_macs // 3              # chol N^3/6 + trtri N^3/6
+    tf = 2 * macs / dt / 1e12
+    print(f"chol_inv (L, L^-1) end-to-end        {dt*1e3:8.1f} ms"
+          f"  {tf:6.1f} TF useful  (~{tf*3:6.1f} TF raw MXU)")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8192)

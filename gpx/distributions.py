@@ -123,6 +123,58 @@ class MultivariateNormal:
         return self.mean + z @ self.chol.T
 
 
+@pytree_dataclass
+class StudentT:
+    """Location-scale Student-t — the one-step forecast distribution of the
+    conjugate DLM filter (``gpx.models.dlm.conjugate_filter``; the
+    reference's held-out-sensor forecast, TemperatureDlm.scala:361-402,
+    gets Student-t predictions from bayesian_dlms' conjugate filter)."""
+
+    df: jnp.ndarray
+    loc: jnp.ndarray
+    scale: jnp.ndarray
+
+    def logpdf(self, x):
+        return stats.t.logpdf(x, self.df, self.loc, self.scale)
+
+    def sample(self, key, shape=()):
+        return self.loc + self.scale * random.t(key, self.df, shape)
+
+    def cdf(self, x):
+        """CDF via the regularized incomplete beta:
+        ``F(t) = 1 - I_{df/(df+t^2)}(df/2, 1/2) / 2`` for ``t >= 0``."""
+        z = (jnp.asarray(x, float) - self.loc) / self.scale
+        w = special.betainc(0.5 * self.df, 0.5, self.df / (self.df + z * z))
+        return jnp.where(z >= 0, 1.0 - 0.5 * w, 0.5 * w)
+
+    def ppf(self, q):
+        """Inverse CDF by bisection on :meth:`cdf` (jax.scipy has no
+        ``betaincinv``): 90 halvings of a [-1e8, 1e8] standardized bracket
+        reach ~f64 precision for any ``df >= 0.5`` and q in (1e-9, 1-1e-9);
+        fully vectorized and jittable."""
+        q = jnp.asarray(q, float)
+        std = StudentT(df=self.df, loc=jnp.zeros_like(self.loc),
+                       scale=jnp.ones_like(self.scale))
+        lo = jnp.full(jnp.broadcast_shapes(q.shape, jnp.shape(self.df)), -1e8)
+        hi = -lo
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            below = std.cdf(mid) < q
+            return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, 90, body, (lo, hi))
+        return self.loc + self.scale * 0.5 * (lo + hi)
+
+
+def student_t_interval(mean, scale, df, q):
+    """Student-t inverse-CDF interval for the conjugate-filter forecasts —
+    the t analog of :func:`normal_interval`."""
+    mean, scale, df = (jnp.asarray(v, float) for v in (mean, scale, df))
+    return StudentT(df=df, loc=mean, scale=scale).ppf(q)
+
+
 def normal_interval(mean, variance, q):
     """Gaussian inverse-CDF interval — Summarise.getInterval
     (Summarise.scala:10-12)."""

@@ -286,6 +286,7 @@ def sample_nuts(
     nugget: float = gp.LOGML_NUGGET,
     init_jitter: float = 0.1,
     analytic_gradients: bool = False,
+    adapt_mass: bool = False,
 ) -> PosteriorSamples:
     """No-U-Turn sampling over all hyperparameters — the flagship sampler,
     beyond the reference (whose answer to path-length tuning is empirical
@@ -293,7 +294,13 @@ def sample_nuts(
     find-reasonable-epsilon + dual-averaging warmup (when ``eps`` is None),
     then iterative multinomial NUTS (gpx.infer.nuts); chains are vmapped
     with independent keys and over-dispersed starts. Extras report the
-    adapted ``eps`` and per-draw tree ``depth``."""
+    adapted ``eps`` and per-draw tree ``depth``.
+
+    ``adapt_mass=True`` adds Stan-style diagonal mass adaptation per chain
+    (window_warmup): on anisotropic GP posteriors the unit metric forces
+    deep trees along the tight direction — the adapted metric cuts tree
+    depth and lifts ESS (tested in tests/test_mcmc_gp.py). Extras then
+    also carry the per-chain ``mass``."""
     log_density = _gp_log_density(
         x, y, log_prior, nugget, analytic_gradients=analytic_gradients
     )
@@ -314,6 +321,7 @@ def sample_nuts(
             warmup_iters=warmup_iters,
             burn_in=burn_in,
             thin=thin,
+            adapt_mass=adapt_mass,
             collect=lambda s: (s.position, s.depth),
         )
 

@@ -238,12 +238,27 @@ def sample(
     burn_in: int = 0,
     thin: int = 1,
     mass=None,
+    adapt_mass: bool = False,
     collect=lambda s: s.position,
 ):
-    """NUTS with optional dual-averaging step-size warmup."""
+    """NUTS with optional dual-averaging step-size warmup.
+
+    ``adapt_mass=True`` runs the Stan-style windowed warmup instead
+    (``dual_averaging.window_warmup``): eps with unit metric, a sampling
+    window estimating a diagonal mass matrix (momentum precision =
+    posterior variance), then eps re-tuned under the adapted metric —
+    anisotropic GP posteriors (signal amplitude vs length-scale scales
+    differing by orders of magnitude) tree-double poorly under a unit
+    metric."""
     k_wu, k_main = random.split(key)
     position = jnp.asarray(init_position)
-    if eps is None:
+    if eps is None and adapt_mass:
+        third = max(warmup_iters // 3, 10)
+        eps, mass, position = dual_averaging.window_warmup(
+            k_wu, position, log_posterior,
+            init_window=third, mass_window=third, final_window=third,
+        )
+    elif eps is None:
         eps, position = dual_averaging.warmup(
             k_wu, position, log_posterior, warmup_iters, 10, mass=mass
         )
@@ -252,4 +267,7 @@ def sample(
         step, init(position, log_posterior), k_main, n_samples,
         burn_in=burn_in, thin=thin, collect=collect,
     )
-    return result, {"eps": eps}
+    extras = {"eps": eps}
+    if adapt_mass:
+        extras["mass"] = mass
+    return result, extras

@@ -108,7 +108,7 @@ def log_marginal_likelihood(
 
 def logml_value_and_grad(
     params: Parameters, x, y, *, nugget: float = LOGML_NUGGET,
-    method: str = "analytic",
+    method: str = "analytic", fast_gradients: bool = False,
 ):
     """``(logML, d logML / d params)`` in one compiled pass — the north-star
     metric path (SURVEY.md §3.3, BASELINE.md).
@@ -124,6 +124,13 @@ def logml_value_and_grad(
     ``method="autodiff"`` differentiates through the Cholesky instead
     (~7x slower at N=16k: the XLA Cholesky VJP's trsm passes dominate).
 
+    ``fast_gradients=True`` (fused TPU path only) runs the W-contraction of
+    the gradient at a 2-pass bf16 split instead of 3 — ~2^-9-relative
+    gradients (vs ~1e-5-grade) at ~10%% less MXU time. The logdet
+    correction shares that accumulator, so the *value* also loosens (to
+    ~warmup grade, measured in PERF.md). Meant for sampler warmup phases
+    where 1e-3 gradients steer fine; switch off for the kept draws.
+
     f32 accuracy envelope of the fused TPU path at N=16k (vs f64): value to
     ~5e-4 relative (explicit-inverse solve + one iterative-refinement step),
     dominant gradient components to ~1e-3; the small cancellation-limited
@@ -136,10 +143,12 @@ def logml_value_and_grad(
         )(params)
     if method != "analytic":
         raise ValueError(f"unknown method: {method}")
-    return _logml_value_and_grad_analytic(params, x, y, nugget)
+    return _logml_value_and_grad_analytic(params, x, y, nugget,
+                                          fast_gradients=fast_gradients)
 
 
-def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
+def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float,
+                                   *, fast_gradients: bool = False):
     from gpx.ops.chol import back_solve, spd_inverse_from_chol, tri_inverse_lower
 
     x, y = check_xy(x, y)
@@ -186,7 +195,8 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float):
         from gpx.ops.pallas_logml_grad import logml_kernel_grads
 
         d_kernel, (tkw, trw) = logml_kernel_grads(
-            params.kernel, x, alpha, l_inv, with_correction=True
+            params.kernel, x, alpha, l_inv, with_correction=True,
+            fast=fast_gradients,
         )
         d_kernel = jax.tree_util.tree_map(
             lambda leaf, g: g.astype(jnp.result_type(leaf)),

@@ -183,8 +183,19 @@ class WoodburyPreconditioner(NamedTuple):
             self.n - rank
         ) * jnp.log(self.noise)
 
-    def sample(self, key, n_probes: int):
-        u = random.normal(key, (self.n, n_probes), self.w.dtype)
+    def sample(self, key, n_probes: int, base: str = "normal"):
+        """Probes ``z = P^{1/2} u`` through the exact symmetric square
+        root. ``base="normal"`` gives z ~ N(0, P) (the SLQ probes);
+        ``base="rademacher"`` keeps ``E[z z^T] = P`` with Rademacher
+        ``u`` — required for the Hutchinson GRADIENT probes, where the
+        estimated matrix ``P^{1/2} K^{-1} G P^{-1/2}`` is diagonal-
+        dominant for white-noise components and Gaussian probes pay the
+        full diagonal variance that Rademacher cancels (measured: the
+        noise-gradient variance exploded 30x with Gaussian P-probes)."""
+        if base == "rademacher":
+            u = random.rademacher(key, (self.n, n_probes), dtype=self.w.dtype)
+        else:
+            u = random.normal(key, (self.n, n_probes), self.w.dtype)
         gain = jnp.sqrt(self.lam + self.noise) - jnp.sqrt(self.noise)
         hi = jax.lax.Precision.HIGHEST
         t = jnp.matmul(self.w.T, u, precision=hi)
@@ -463,8 +474,20 @@ def logml_value_and_grad_iterative(
     mean_val, mean_vjp = jax.vjp(lambda m: m(x), params.mean)
     r = y - mean_val
 
-    # quadratic term: alpha = K^{-1} r, plus probe solves K^{-1} z (batched)
-    probes = random.rademacher(k_probe, (n, n_probes), dtype=r.dtype)
+    # quadratic term: alpha = K^{-1} r, plus probe solves K^{-1} z (batched).
+    # With a preconditioner the probes come from N(0, P) and the Hutchinson
+    # weight vector is P^{-1} z: E[z^T K^{-1} G P^{-1} z] = tr(K^{-1} G)
+    # still, but since P ~ K the quadratic form concentrates — the BBMM
+    # preconditioned-probe variance reduction, now applied to the GRADIENT
+    # trace term too (round-3 VERDICT 8; measured reduction in PERF.md).
+    if precond is not None:
+        probes = precond.sample(
+            k_probe, n_probes, base="rademacher"
+        ).astype(r.dtype)
+        probe_weights = precond.apply(probes)
+    else:
+        probes = random.rademacher(k_probe, (n, n_probes), dtype=r.dtype)
+        probe_weights = probes
     rhs = jnp.concatenate([r[:, None], probes], axis=1)
     solves, cg_iters, cg_converged = cg_solve(
         matvec, rhs, tol=cg_tol, max_iters=cg_max_iters, precond=precond
@@ -491,7 +514,7 @@ def logml_value_and_grad_iterative(
     #   d/d theta [-1/2 logdet]      = -1/2 E[(K^{-1} z)^T (dK/d theta) z]
     # both as jax.grad of scalar matvec forms with stopped vectors.
     alpha_s = lax.stop_gradient(alpha)
-    probes_s = lax.stop_gradient(probes)
+    probes_s = lax.stop_gradient(probe_weights)
     probe_solves_s = lax.stop_gradient(probe_solves)
 
     # the contraction differentiates *through the matvec* w.r.t. kernel

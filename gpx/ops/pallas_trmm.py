@@ -35,11 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 _BT = 512
 
 
-def _body(*refs, mode, bt, nb):
-    ii_ref, jj_ref, kk_ref = refs[:3]
-    a_ref, b_ref = refs[3], refs[4]
-    out_ref = refs[5]
-    acc = refs[6]
+def _body(*refs, mode, bt, nb, neg):
+    offs_ref, ii_ref, jj_ref, kk_ref = refs[:4]
+    a_ref, b_ref = refs[4], refs[5]
+    out_ref = refs[6]
+    acc = refs[7]
 
     s = pl.program_id(0)
     i = ii_ref[s]
@@ -67,7 +67,7 @@ def _body(*refs, mode, bt, nb):
 
     @pl.when(k == last_k)
     def _write():
-        out_ref[:] = acc[:]
+        out_ref[:] = -acc[:] if neg else acc[:]
 
 
 def _dot_bf16x3(a, b, dn=(((1,), (0,)), ((), ()))):
@@ -79,6 +79,21 @@ def _dot_bf16x3(a, b, dn=(((1,), (0,)), ((), ()))):
     return (
         jax.lax.dot_general(a1, b1, dn, preferred_element_type=f32)
         + jax.lax.dot_general(a1, b2, dn, preferred_element_type=f32)
+        + jax.lax.dot_general(a2, b1, dn, preferred_element_type=f32)
+    )
+
+
+def _dot_bf16x2(a, b, dn=(((1,), (0,)), ((), ()))):
+    """2-pass split: keeps ``a``'s full f32 mantissa but rounds ``b`` to
+    bf16 — ~2^-9 relative per dot (vs ~1.5e-5 for the 3-pass split) at 2/3
+    the MXU passes. The opt-in *fast gradient* mode (sampler warmup, where
+    1e-3-grade gradients steer fine) runs the W-contraction through this."""
+    a1 = a.astype(jnp.bfloat16)
+    a2 = (a - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+    b1 = b.astype(jnp.bfloat16)
+    f32 = jnp.float32
+    return (
+        jax.lax.dot_general(a1, b1, dn, preferred_element_type=f32)
         + jax.lax.dot_general(a2, b1, dn, preferred_element_type=f32)
     )
 
@@ -105,45 +120,71 @@ def _schedule(nb: int, mode: str, mb: int | None = None):
     )
 
 
-def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False):
+def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False,
+         n: int | None = None, m: int | None = None,
+         b_off=(0, 0), l_off=(0, 0), neg: bool = False):
     """``b @ l`` (mode="right_lower"), ``l @ b`` (mode="left_lower") or
     ``b @ l.T`` (mode="right_lower_t") with ``l`` lower-triangular and
     ``(n, n)``. ``b`` is ``(n, n)`` — or ``(n, m)`` in ``left_lower`` mode
     (the prediction-path trsm replacement: ``L^{-1} @ Kxs``). All dims
-    divisible by ``bt``. Only the lower triangle of ``l`` is ever read."""
+    divisible by ``bt``. Only the lower triangle of ``l`` is ever read.
+
+    ``b_off``/``l_off`` (element offsets, multiples of ``bt``) read the
+    operands as sub-blocks *embedded in larger buffers* — the Cholesky
+    recursion (gpx.ops.pallas_chol.chol_inv) passes the full-size matrices
+    and offsets instead of slicing, which would cost an HBM copy per level.
+    Offsets ride the scalar-prefetch channel, so call sites with different
+    offsets share one compiled program. ``neg=True`` writes ``-C`` (fuses
+    the sign flip of the ``M21 = -M22 (L21 M11)`` step)."""
     if mode not in ("right_lower", "left_lower", "right_lower_t"):
         raise ValueError(f"unknown trmm mode: {mode}")
-    n = l.shape[-1]
-    m = b.shape[-1] if mode == "left_lower" else n
-    if (l.shape != (n, n) or b.shape != ((n, m) if mode == "left_lower"
-                                         else (n, n)) or n % bt or m % bt):
+    n = l.shape[-1] if n is None else n
+    if m is None:
+        m = b.shape[-1] if mode == "left_lower" else n
+    for name, (oi, oj) in (("b_off", b_off), ("l_off", l_off)):
+        if oi % bt or oj % bt:
+            raise ValueError(f"{name} must be multiples of bt={bt}: {(oi, oj)}")
+    b_shape = (n, m) if mode == "left_lower" else (n, n)
+    if (l.shape[0] < l_off[0] + n or l.shape[1] < l_off[1] + n
+            or b.shape[0] < b_off[0] + b_shape[0]
+            or b.shape[1] < b_off[1] + b_shape[1] or n % bt or m % bt):
         raise ValueError(
-            f"trmm {mode} needs l (n, n) and b {'(n, m)' if mode == 'left_lower' else '(n, n)'}"
-            f" with {bt} | dims, got l {l.shape}, b {b.shape}"
+            f"trmm {mode}: l {l.shape} at {l_off} / b {b.shape} at {b_off}"
+            f" cannot hold ({n}, {m}) with {bt} | dims"
         )
     nb = n // bt
     ii, jj, kk = _schedule(nb, mode, mb=m // bt)
     n_active = ii.shape[0]
 
     # operand order inside the kernel is (A, B) for A @ B (or A @ B^T)
-    first = l if mode == "left_lower" else b
-    second = b if mode == "left_lower" else l
-    if mode == "right_lower_t":
-        second_map = lambda s, ii, jj, kk: (jj[s], kk[s])
+    if mode == "left_lower":
+        first, second = l, b
+        first_off, second_off = l_off, b_off
     else:
-        second_map = lambda s, ii, jj, kk: (kk[s], jj[s])
+        first, second = b, l
+        first_off, second_off = b_off, l_off
+    if mode == "right_lower_t":
+        second_map = lambda s, offs, ii, jj, kk: (jj[s] + offs[2], kk[s] + offs[3])
+    else:
+        second_map = lambda s, offs, ii, jj, kk: (kk[s] + offs[2], jj[s] + offs[3])
+    offs = jnp.asarray(
+        np.asarray([first_off[0] // bt, first_off[1] // bt,
+                    second_off[0] // bt, second_off[1] // bt], np.int32)
+    )
 
-    body = functools.partial(_body, mode=mode, bt=bt, nb=nb)
+    body = functools.partial(_body, mode=mode, bt=bt, nb=nb, neg=neg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_active,),
         in_specs=[
-            pl.BlockSpec((bt, bt), lambda s, ii, jj, kk: (ii[s], kk[s]),
+            pl.BlockSpec((bt, bt),
+                         lambda s, offs, ii, jj, kk: (ii[s] + offs[0],
+                                                      kk[s] + offs[1]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, bt), second_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bt, bt), lambda s, ii, jj, kk: (ii[s], jj[s]),
+            (bt, bt), lambda s, offs, ii, jj, kk: (ii[s], jj[s]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((bt, bt), jnp.float32)],
@@ -158,11 +199,12 @@ def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(ii, jj, kk, jnp.asarray(first, jnp.float32), jnp.asarray(second, jnp.float32))
+    )(offs, ii, jj, kk, jnp.asarray(first, jnp.float32),
+      jnp.asarray(second, jnp.float32))
 
 
-def _syrk_body(ii_ref, jj_ref, kk_ref, a_ref, bi_ref, bj_ref, out_ref, acc,
-               *, nb):
+def _syrk_body(offs_ref, ii_ref, jj_ref, kk_ref, a_ref, bi_ref, bj_ref,
+               out_ref, acc, *, nb):
     s = pl.program_id(0)
     k = kk_ref[s]
 
@@ -177,17 +219,28 @@ def _syrk_body(ii_ref, jj_ref, kk_ref, a_ref, bi_ref, bj_ref, out_ref, acc,
         out_ref[:] = a_ref[:] - acc[:]
 
 
-def syrk_lower(a, b, *, bt: int = _BT, interpret: bool = False):
+def syrk_lower(a, b, *, bt: int = _BT, interpret: bool = False,
+               n: int | None = None, a_off=(0, 0)):
     """``A - B @ B^T`` on the lower-triangle tiles only (bf16x3).
 
     Upper-triangle tiles of the result are never visited and contain
     garbage — callers must read the lower triangle only (the Cholesky
-    recursion in gpx.ops.pallas_chol does). ``A`` itself is only read on
-    its lower tiles. Saves half the MACs and DMA of the dense XLA syrk.
-    """
-    n = a.shape[-1]
-    if a.shape != (n, n) or b.shape != (n, n) or n % bt:
-        raise ValueError(f"syrk_lower needs square (n, n) operands, {bt} | n")
+    recursion in gpx.ops.pallas_chol does; its in-place variant masks the
+    deposit). A zero-filling upper-tile variant was measured SLOWER on chip
+    (86-91 vs 83.5 ms inside chol_inv at N=16k: the per-step flag guard
+    around the accumulate hurts the Mosaic pipeline more than one masked
+    XLA pass costs) — don't retry. ``A`` is only read on its lower tiles.
+    ``a_off`` reads the A block embedded in a larger buffer (see
+    :func:`trmm`); ``b`` is always a free-standing ``(n, n)`` value."""
+    n = b.shape[-1] if n is None else n
+    if a_off[0] % bt or a_off[1] % bt:
+        raise ValueError(f"a_off must be multiples of bt={bt}: {a_off}")
+    if (b.shape != (n, n) or a.shape[0] < a_off[0] + n
+            or a.shape[1] < a_off[1] + n or n % bt):
+        raise ValueError(
+            f"syrk_lower: a {a.shape} at {a_off} / b {b.shape} cannot hold"
+            f" ({n}, {n}) with {bt} | n"
+        )
     nb = n // bt
     ii, jj, kk = [], [], []
     for i in range(nb):
@@ -199,22 +252,29 @@ def syrk_lower(a, b, *, bt: int = _BT, interpret: bool = False):
     ii = jnp.asarray(np.asarray(ii, np.int32))
     jj = jnp.asarray(np.asarray(jj, np.int32))
     kk = jnp.asarray(np.asarray(kk, np.int32))
+    offs = jnp.asarray(
+        np.asarray([a_off[0] // bt, a_off[1] // bt], np.int32)
+    )
 
     body = functools.partial(_syrk_body, nb=nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(int(ii.shape[0]),),
         in_specs=[
             # A block index is constant over the k sweep -> fetched once
-            pl.BlockSpec((bt, bt), lambda s, ii, jj, kk: (ii[s], jj[s]),
+            pl.BlockSpec((bt, bt),
+                         lambda s, offs, ii, jj, kk: (ii[s] + offs[0],
+                                                      jj[s] + offs[1]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, bt), lambda s, ii, jj, kk: (ii[s], kk[s]),
+            pl.BlockSpec((bt, bt),
+                         lambda s, offs, ii, jj, kk: (ii[s], kk[s]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, bt), lambda s, ii, jj, kk: (jj[s], kk[s]),
+            pl.BlockSpec((bt, bt),
+                         lambda s, offs, ii, jj, kk: (jj[s], kk[s]),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bt, bt), lambda s, ii, jj, kk: (ii[s], jj[s]),
+            (bt, bt), lambda s, offs, ii, jj, kk: (ii[s], jj[s]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((bt, bt), jnp.float32)],
@@ -230,4 +290,4 @@ def syrk_lower(a, b, *, bt: int = _BT, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(ii, jj, kk, jnp.asarray(a, jnp.float32), b, b)
+    )(offs, ii, jj, kk, jnp.asarray(a, jnp.float32), b, b)

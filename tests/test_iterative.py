@@ -272,3 +272,35 @@ def test_pcg_tridiag_freeze_is_sticky(rng):
     # appear: diag 1.0 and off-diag 0.0
     np.testing.assert_allclose(np.asarray(t_diags)[4:], 1.0)
     np.testing.assert_allclose(np.asarray(t_offs)[4:], 0.0)
+
+
+def test_preconditioned_probes_reduce_gradient_variance(rng):
+    """Round-3 VERDICT 8: with a preconditioner the Hutchinson gradient
+    trace uses z ~ N(0, P) probes weighted by P^{-1} z; across seeds the
+    gradient estimates must (a) stay unbiased (match dense) and (b) have
+    materially lower variance than the plain-Rademacher estimator."""
+    p, x, y = _toy(rng, n=256)
+    _, dense_grads = gp.logml_value_and_grad(p, x, y, method="autodiff")
+    want = np.asarray(
+        [float(v) for v in jax.tree_util.tree_leaves(dense_grads.kernel)]
+    )
+
+    def grads_for(seed, rank):
+        res = logml_value_and_grad_iterative(
+            p, x, y, jax.random.PRNGKey(seed), n_probes=8,
+            lanczos_iters=30, cg_tol=1e-8, precond_rank=rank,
+        )
+        return np.asarray(
+            [float(v) for v in jax.tree_util.tree_leaves(res.grads.kernel)]
+        )
+
+    plain = np.stack([grads_for(s, 0) for s in range(6)])
+    pcond = np.stack([grads_for(s, 48) for s in range(6)])
+    # unbiased: seed-mean close to dense for both estimators
+    np.testing.assert_allclose(pcond.mean(0), want, rtol=0.25, atol=0.3)
+    # variance reduction on the noisiest component
+    v_plain = plain.var(0)
+    v_pcond = pcond.var(0)
+    assert v_pcond.max() < v_plain.max(), (v_pcond, v_plain)
+    # and overall
+    assert v_pcond.sum() < v_plain.sum()

@@ -98,6 +98,56 @@ def test_nuts_posterior_recovery():
         assert l < truth_v < u, (truth_v, l, u)
 
 
+def test_nuts_mass_adaptation_anisotropic():
+    """adapt_mass=True (round-3 VERDICT 6): Stan-style diagonal mass
+    adaptation wired into NUTS. On a deliberately anisotropic target (the
+    unconstrained GP posterior directions carry very different scales) the
+    adapted metric must (a) still recover the posterior and (b) not need
+    deeper trees than the unadapted sampler — on anisotropic targets the
+    unit metric forces deep doubling along the tightest direction."""
+    from gpx.infer import nuts as nuts_mod
+
+    # explicit anisotropic Gaussian: scales differing by 30x per dimension
+    scales = jnp.asarray([0.1, 1.0, 3.0])
+
+    def logpost(q):
+        return -0.5 * jnp.sum((q / scales) ** 2)
+
+    key = jax.random.PRNGKey(3)
+    res_a, extras_a = nuts_mod.sample(
+        logpost, jnp.zeros(3), key, 800, warmup_iters=300, adapt_mass=True,
+        max_depth=8, collect=lambda s: (s.position, s.depth),
+    )
+    res_u, extras_u = nuts_mod.sample(
+        logpost, jnp.zeros(3), key, 800, warmup_iters=300, adapt_mass=False,
+        max_depth=8, collect=lambda s: (s.position, s.depth),
+    )
+    qa, da = res_a.samples
+    qu, du = res_u.samples
+    assert np.isfinite(np.asarray(qa)).all()
+    # (a) moment recovery under the adapted metric
+    np.testing.assert_allclose(np.asarray(qa).std(0), scales, rtol=0.25)
+    # mass ~= 1/var per dimension: ordered like the inverse scales
+    mass = np.asarray(extras_a["mass"])
+    assert mass[0] > mass[1] > mass[2]
+    # (b) adapted trees are no deeper on average (typically much shallower)
+    assert float(np.mean(da)) <= float(np.mean(du)) + 0.5
+
+    # end-to-end through the GP driver: runs, recovers, reports mass
+    x, y, truth = _simulate(jax.random.PRNGKey(9))
+    template = Parameters(mean=zero(), kernel=se(2.0, 2.0) + white(1.0))
+    post = sample_nuts(
+        jax.random.PRNGKey(10), x, y, template, _log_prior,
+        n_samples=300, burn_in=100, n_chains=2, warmup_iters=240,
+        max_depth=6, adapt_mass=True,
+    )
+    assert np.asarray(post.extras["mass"]).shape == (2, 3)
+    pooled = np.asarray(post.flat.reshape(-1, 3))
+    lo, hi = np.percentile(pooled, [2.5, 97.5], axis=0)
+    for truth_v, l, u in zip([3.0, 5.5, 0.5], lo, hi):
+        assert l < truth_v < u, (truth_v, l, u)
+
+
 def test_mh_within_gibbs_plane_mean():
     # Temperature-style model: Plane mean over 1-D locations + SE + white
     key = jax.random.PRNGKey(4)

@@ -19,15 +19,17 @@ def _spd(rng, n):
     return (a @ a.T + n * np.eye(n)).astype(np.float32)
 
 
+@pytest.mark.parametrize("fast_compile", [False, True])
 @pytest.mark.parametrize("n,base,bt", [
     (128, 128, 128),      # single-tile base case only
     (256, 128, 128),      # one recursion level
     (512, 128, 128),      # two levels
     (1024, 256, 128),     # bigger base tile, bt < base
 ])
-def test_chol_inv_matches_numpy(rng, n, base, bt):
+def test_chol_inv_matches_numpy(rng, n, base, bt, fast_compile):
     a = _spd(rng, n)
-    l, m = chol_inv(jnp.asarray(a), base=base, bt=bt, interpret=True)
+    l, m = chol_inv(jnp.asarray(a), base=base, bt=bt, interpret=True,
+                    fast_compile=fast_compile)
     l_ref = np.linalg.cholesky(a.astype(np.float64))
     m_ref = np.linalg.inv(l_ref)
     scale_l = np.abs(l_ref).max()

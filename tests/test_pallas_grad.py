@@ -46,6 +46,20 @@ def test_fused_grads_2d_locations(rng):
         np.testing.assert_allclose(float(a), float(b), rtol=1e-2, atol=1e-3)
 
 
+def test_fast_mode_tracks_exact(rng):
+    """fast=True (2-pass bf16 split) stays within its documented ~2^-9
+    envelope of the exact-mode gradients."""
+    p, x, y, alpha, l_inv = _setup(rng, se(3.0, 5.5) + white(0.5))
+    exact = logml_kernel_grads(p.kernel, x, alpha, l_inv, bt=64,
+                               interpret=True)
+    fast = logml_kernel_grads(p.kernel, x, alpha, l_inv, bt=64,
+                              interpret=True, fast=True)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(fast), jax.tree_util.tree_leaves(exact)
+    ):
+        np.testing.assert_allclose(float(a), float(b), rtol=2e-2, atol=5e-2)
+
+
 def test_rejects_unaligned_n(rng):
     p, x, y, alpha, l_inv = _setup(rng, se(3.0, 5.5), n=100)
     with pytest.raises(ValueError):
