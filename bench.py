@@ -92,12 +92,35 @@ def main():
     jax.block_until_ready(vals)
     ms = (time.perf_counter() - t0) / REPS * 1e3
 
+    # --- opt-in fast-gradient mode (recorded, not the headline) ----------
+    # 2-pass bf16 split on the W-contraction: warmup-grade gradients
+    # (~2^-9 rel) at less MXU time — the documented sampler-warmup mode
+    def one_fast(carry, _):
+        p = jax.tree_util.tree_map(
+            lambda leaf: leaf * (1.0 + 1e-7 * carry), params
+        )
+        v, g = gp.logml_value_and_grad(p, x, y, fast_gradients=True)
+        return jnp.tanh(v) * 1e-6, v
+
+    fast_ms = None
+    if os.environ.get("GPX_BENCH_FAST", "1") != "0":
+        f_fast = _compile(
+            lambda: jax.lax.scan(one_fast, jnp.float32(0.0), None, length=REPS)
+        )
+        vals = f_fast()
+        jax.block_until_ready(vals)
+        t0 = time.perf_counter()
+        vals = f_fast()
+        jax.block_until_ready(vals)
+        fast_ms = round((time.perf_counter() - t0) / REPS * 1e3, 2)
+
     print(json.dumps({
         "metric": f"exact_gp_logml_grad_n{N}",
         "value": round(ms, 2),
         "unit": "ms/eval",
         "vs_baseline": round(TARGET_MS / ms, 4),
         "per_call_ms": round(per_call_ms, 2),
+        "fast_mode_ms": fast_ms,
         "reps": REPS,
     }))
 

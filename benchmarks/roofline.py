@@ -46,10 +46,12 @@ def main(n=8192):
 
     # XLA dense matmul: f32 (6-pass on this MXU), bf16 1-pass, and the
     # 3-pass bf16x3 split the gpx kernels use
+    # DEFAULT f32 (f32-faithful on this platform, CLAUDE.md) — HIGHEST
+    # lowers to a catastrophically slow path here (measured 51 s at 8k;
+    # don't use it for XLA-side matmuls)
     for name, f, macs, passes in [
-        ("xla f32 matmul (HIGHEST)",
-         jax.jit(lambda x, y: jax.lax.dot(
-             x, y, precision=jax.lax.Precision.HIGHEST)),
+        ("xla f32 matmul (default)",
+         jax.jit(lambda x, y: jax.lax.dot(x, y)),
          dense_macs, 6),
         ("xla bf16 matmul (1-pass)",
          jax.jit(lambda x, y: jax.lax.dot(
@@ -96,11 +98,15 @@ def main(n=8192):
 
     from gpx.ops.pallas_chol import chol_inv, chol_inv_tile
 
+    spd = a @ a.T / n + 2.0 * jnp.eye(n)
     t = 2048
-    dt = _time(jax.jit(chol_inv_tile), lt[:t, :t])
+    # SPD input matters: a non-SPD tile NaNs the in-register Cholesky and
+    # NaN operands measured ~40x slower through the VPU loop (90 ms vs
+    # ~2 ms) — time the real workload
+    dt = _time(jax.jit(chol_inv_tile), spd[:t, :t])
     print(f"chol_inv_tile base case ({t}^2)      {dt*1e3:8.1f} ms"
           f"  ({n//t} of these per {n} factorization)")
-    dt = _time(jax.jit(chol_inv), a @ a.T / n + 2.0 * jnp.eye(n))
+    dt = _time(jax.jit(chol_inv), spd)
     macs = dense_macs // 3              # chol N^3/6 + trtri N^3/6
     tf = 2 * macs / dt / 1e12
     print(f"chol_inv (L, L^-1) end-to-end        {dt*1e3:8.1f} ms"

@@ -155,7 +155,11 @@ class StudentT:
         q = jnp.asarray(q, float)
         std = StudentT(df=self.df, loc=jnp.zeros_like(self.loc),
                        scale=jnp.ones_like(self.scale))
-        lo = jnp.full(jnp.broadcast_shapes(q.shape, jnp.shape(self.df)), -1e8)
+        shape = jnp.broadcast_shapes(
+            q.shape, jnp.shape(self.df), jnp.shape(self.loc),
+            jnp.shape(self.scale),
+        )
+        lo = jnp.full(shape, -1e8)
         hi = -lo
 
         def body(_, carry):

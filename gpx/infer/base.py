@@ -70,8 +70,14 @@ def sample_chains(
     burn_in: int = 0,
     thin: int = 1,
     collect: Callable[[Any], Any] = lambda s: s,
+    sequential: bool = False,
 ) -> ChainResult:
-    """Run ``n_chains`` independent chains as one vmapped program.
+    """Run ``n_chains`` independent chains as ONE jit-compiled program
+    (vmapped; ``sequential=True`` maps them back-to-back with ``lax.map``
+    instead — right for big-N Pallas-path chains, see
+    gpx.infer.mcmc._run_chains). The outer jit matters: an un-jitted vmap
+    executes eagerly and pays the remote-dispatch round trip per
+    primitive (round-3 measurement).
 
     ``init_states`` may be a single state (broadcast to all chains) or a
     pytree stacked along a leading chains axis (e.g. over-dispersed inits).
@@ -90,7 +96,11 @@ def sample_chains(
     runner = lambda k, s: sample(
         step, s, k, n_samples, burn_in=burn_in, thin=thin, collect=collect
     )
-    return jax.vmap(runner)(keys, init_states)
+    if sequential:
+        return jax.jit(
+            lambda ks, ss: lax.map(lambda t: runner(*t), (ks, ss))
+        )(keys, init_states)
+    return jax.jit(jax.vmap(runner))(keys, init_states)
 
 
 def _accept_rate(state, n_steps: int):

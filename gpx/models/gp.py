@@ -260,6 +260,52 @@ def log_marginal_likelihood_analytic_vjp(x, y, *, nugget: float = LOGML_NUGGET):
     return f
 
 
+def logml_gradient_noise_floor(params: Parameters, x, y, *,
+                               nugget: float = LOGML_NUGGET):
+    """Estimate the f32/bf16x3 noise floor of each analytic gradient
+    component, and flag the cancellation-limited ones.
+
+    At N=16k the near-zero ``h`` gradient carries O(0.1) *absolute* error
+    while the dominant components are ~1e-5-relative (PERF.md accuracy
+    table): the fused contraction sums N^2/2 products whose magnitudes
+    dwarf a cancelling total, so the error scales with the contraction
+    MAGNITUDE, not the result. This runs the contraction at BOTH split
+    precisions (3-pass ~1.5e-5 vs 2-pass ~2^-9): the difference isolates
+    the truncation scale, and the exact mode's floor is that difference
+    rescaled by the precision ratio. Returns ``(grads, floor, flagged)``
+    with ``flagged[i] = True`` when ``|grad_i| < 10 * floor_i`` — i.e. the
+    component is in the noise regime and should not steer fine
+    optimization decisions (use the CPU x64 path if it must).
+
+    Cost: one extra 2-pass gradient evaluation (~2/3 of a normal one).
+    """
+    x, y = check_xy(x, y)
+    n = x.shape[0]
+    if not (jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096
+            and params.kernel.is_stationary and params.kernel.pallas_safe):
+        raise ValueError(
+            "logml_gradient_noise_floor diagnoses the fused TPU gradient "
+            "path (N >= 4096, 512 | N, stationary Pallas-safe kernel, TPU "
+            "backend); off that path use the CPU x64 parity route instead"
+        )
+    value, g3 = logml_value_and_grad(params, x, y, nugget=nugget)
+    _, g2 = logml_value_and_grad(params, x, y, nugget=nugget,
+                                 fast_gradients=True)
+    eps3, eps2 = 1.5e-5, 2.0 ** -9
+    ratio = eps3 / eps2
+
+    def floor_of(a, b):
+        return jnp.abs(jnp.asarray(a, jnp.float32)
+                       - jnp.asarray(b, jnp.float32)) * ratio
+
+    floor = jax.tree_util.tree_map(floor_of, g3, g2)
+    flagged = jax.tree_util.tree_map(
+        lambda g, f: jnp.abs(jnp.asarray(g, jnp.float32)) < 10.0 * f,
+        g3, floor,
+    )
+    return g3, floor, flagged
+
+
 def gram_of(kernel, x, nugget):
     """Gram used by the likelihood paths (auto backend dispatch)."""
     return kernel.gram(x, nugget=nugget)

@@ -40,11 +40,14 @@ def _cache_key(lowered, extra: str) -> str:
     h.update(lowered.as_text().encode())
     h.update(jax.__version__.encode())
     h.update(jax.default_backend().encode())
-    # device kind + jaxlib/runtime identifiers: a cache dir shared across
-    # chip revisions or a remote-compiler update must not deserialize a
-    # mismatched executable (deserialization does not always raise)
+    # device kind + count + jaxlib/runtime identifiers: a cache dir shared
+    # across chip revisions or a remote-compiler update must not
+    # deserialize a mismatched executable (deserialization does not always
+    # raise), and a deserialized executable binds to ALL local devices —
+    # so entries are only valid within an identical local topology
     try:
         h.update(jax.devices()[0].device_kind.encode())
+        h.update(str(len(jax.local_devices())).encode())
     except Exception:
         pass
     try:
@@ -72,14 +75,6 @@ def cached_compile(fn, *args, cache_dir=None, key_extra: str = "", **kwargs):
     cache_dir = pathlib.Path(cache_dir) if cache_dir else _DEFAULT_DIR
     lowered = jax.jit(fn).lower(*args, **kwargs)
 
-    # the deserialized executable binds to ALL local devices (the original
-    # device assignment is not preserved): on a multi-device backend the
-    # loaded program then demands per-device shards (measured on the
-    # 8-virtual-device CPU lane) — only cache on single-device backends
-    # (the one-chip TPU, where the compile cost lives anyway)
-    if len(jax.local_devices()) != 1:
-        return lowered.compile()
-
     path = cache_dir / f"{_cache_key(lowered, key_extra)}.pkl"
     if path.exists():
         try:
@@ -90,6 +85,22 @@ def cached_compile(fn, *args, cache_dir=None, key_extra: str = "", **kwargs):
             pass                         # stale/corrupt entry: recompile
 
     compiled = lowered.compile()
+    # a deserialized executable binds to ALL local devices (the original
+    # device assignment is not preserved): a single-device program loaded
+    # in a multi-device process then demands per-device shards (measured
+    # on the 8-virtual-device CPU lane: "expected 8 shards, got [1]").
+    # Mesh programs spanning every local device round-trip correctly
+    # (measured, incl. shard_map collectives) — so cache exactly when the
+    # executable's device span equals the process's local topology, which
+    # the cache key also pins (count + kind).
+    try:
+        spans_local = len(compiled.runtime_executable().local_devices()) == (
+            len(jax.local_devices())
+        )
+    except Exception:
+        spans_local = False
+    if not spans_local:
+        return compiled
     try:
         cache_dir.mkdir(parents=True, exist_ok=True)
         payload, in_tree, out_tree = serialize(compiled)

@@ -146,15 +146,19 @@ def test_profiling_harness():
     assert mean_s >= 0 and float(result[0]) == 2.0
 
 
-def test_aot_cached_compile_multi_device_guard(tmp_path, rng):
-    """cached_compile only persists on single-device backends: a
-    deserialized executable binds to all local devices, so on this
-    8-virtual-device lane the guard must skip the cache entirely while
-    still returning a working compiled function. (The hit path is
-    chip-verified in tests_tpu/test_chip.py.)"""
+def test_aot_cached_compile_multi_device(tmp_path, rng):
+    """Round-3: cached_compile persists mesh programs that span EVERY
+    local device (a deserialized executable binds to all local devices, so
+    that is exactly when the rebind is correct — measured incl. shard_map
+    collectives); programs narrower than the process topology still bypass
+    the store while returning a working compiled function."""
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
 
+    from gpx.parallel import make_mesh
     from gpx.utils.aot import cached_compile
 
     x = jnp.asarray(rng.normal(size=(64, 64)))
@@ -164,7 +168,20 @@ def test_aot_cached_compile_multi_device_guard(tmp_path, rng):
 
     c1 = cached_compile(f, x, cache_dir=tmp_path)
     out1 = c1(x)
-    assert list(tmp_path.glob("*.pkl")) == []     # no cache written
+    assert list(tmp_path.glob("*.pkl")) == []     # 1-dev program: no store
     np.testing.assert_allclose(
         np.asarray(out1), np.asarray(jnp.sin(x) @ x.T), rtol=1e-12
     )
+
+    mesh = make_mesh(data=8)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("data"), out_specs=P())
+    def g(a):
+        return jax.lax.psum(jnp.sum(a * a), "data")
+
+    want = float(jnp.sum(x[:, 0] * x[:, 0]))
+    c2 = cached_compile(g, x[:, 0], cache_dir=tmp_path)
+    assert len(list(tmp_path.glob("*.pkl"))) == 1  # mesh program: stored
+    np.testing.assert_allclose(float(c2(x[:, 0])), want, rtol=1e-6)
+    c3 = cached_compile(g, x[:, 0], cache_dir=tmp_path)  # hit path
+    np.testing.assert_allclose(float(c3(x[:, 0])), want, rtol=1e-6)

@@ -279,7 +279,7 @@ def test_preconditioned_probes_reduce_gradient_variance(rng):
     trace uses z ~ N(0, P) probes weighted by P^{-1} z; across seeds the
     gradient estimates must (a) stay unbiased (match dense) and (b) have
     materially lower variance than the plain-Rademacher estimator."""
-    p, x, y = _toy(rng, n=256)
+    p, x, y = _toy(rng, n=192)
     _, dense_grads = gp.logml_value_and_grad(p, x, y, method="autodiff")
     want = np.asarray(
         [float(v) for v in jax.tree_util.tree_leaves(dense_grads.kernel)]
@@ -288,14 +288,14 @@ def test_preconditioned_probes_reduce_gradient_variance(rng):
     def grads_for(seed, rank):
         res = logml_value_and_grad_iterative(
             p, x, y, jax.random.PRNGKey(seed), n_probes=8,
-            lanczos_iters=30, cg_tol=1e-8, precond_rank=rank,
+            lanczos_iters=24, cg_tol=1e-8, precond_rank=rank,
         )
         return np.asarray(
             [float(v) for v in jax.tree_util.tree_leaves(res.grads.kernel)]
         )
 
-    plain = np.stack([grads_for(s, 0) for s in range(6)])
-    pcond = np.stack([grads_for(s, 48) for s in range(6)])
+    plain = np.stack([grads_for(s, 0) for s in range(4)])
+    pcond = np.stack([grads_for(s, 48) for s in range(4)])
     # unbiased: seed-mean close to dense for both estimators
     np.testing.assert_allclose(pcond.mean(0), want, rtol=0.25, atol=0.3)
     # variance reduction on the noisiest component

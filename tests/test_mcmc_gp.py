@@ -115,11 +115,11 @@ def test_nuts_mass_adaptation_anisotropic():
 
     key = jax.random.PRNGKey(3)
     res_a, extras_a = nuts_mod.sample(
-        logpost, jnp.zeros(3), key, 800, warmup_iters=300, adapt_mass=True,
+        logpost, jnp.zeros(3), key, 500, warmup_iters=240, adapt_mass=True,
         max_depth=8, collect=lambda s: (s.position, s.depth),
     )
     res_u, extras_u = nuts_mod.sample(
-        logpost, jnp.zeros(3), key, 800, warmup_iters=300, adapt_mass=False,
+        logpost, jnp.zeros(3), key, 500, warmup_iters=240, adapt_mass=False,
         max_depth=8, collect=lambda s: (s.position, s.depth),
     )
     qa, da = res_a.samples
