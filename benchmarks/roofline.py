@@ -24,12 +24,17 @@ import jax.numpy as jnp
 
 
 def _time(f, *args, reps=5):
-    out = f(*args)                      # compile
-    jax.block_until_ready(out)
+    # two untimed calls: compile, then one warm call — the first
+    # post-compile dispatch of a Pallas program has measured ~400 ms of
+    # one-off overhead on this platform (round-3 debug), which at reps=5
+    # polluted small-kernel numbers by ~80 ms/rep
+    for _ in range(2):
+        out = f(*args)
+        jax.block_until_ready(out)
+        _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
     t0 = time.time()
     for _ in range(reps):
         out = f(*args)
-    jax.block_until_ready(out)
     # forced consumer: block_until_ready on Pallas outputs has returned
     # early on this platform (CLAUDE.md) — touch a scalar
     _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
@@ -80,37 +85,43 @@ def main(n=8192):
         print(f"{name:38s} {dt*1e3:8.1f} ms  {tf:6.1f} TF useful"
               f"  (~{tf*3:6.1f} TF raw MXU)")
 
-    # the fused gradient contraction (N^3/6 MACs x 3 passes)
+    # realistic operands from here on: the REAL Gram of the bench config
+    # and its actual factor/inverse. Operand values matter on this chip:
+    # the same grad-contraction kernel measured 76 ms on O(1) random tril
+    # input vs 34.6 ms on the true L^-1 (round-3 debug) — publish the
+    # workload number, not a synthetic pessimization.
     from gpx import se, white
+    from gpx.ops.pallas_chol import chol_inv, chol_inv_tile
     from gpx.ops.pallas_logml_grad import logml_kernel_grads
 
     x = jnp.sort(jax.random.uniform(key, (n, 1)) * 30.0, axis=0)
     alpha = jax.random.normal(key, (n,), jnp.float32)
     kern = se(2.0, 3.0) + white(0.3)
-    for label, fast in [("exact bf16x3", False), ("fast bf16x2", True)]:
-        f = jax.jit(lambda li, fa=fast: jax.tree_util.tree_leaves(
-            logml_kernel_grads(kern, x, alpha, li, fast=fa))[0])
-        dt = _time(f, lt)
-        passes = 2 if fast else 3
-        tf = 2 * (dense_macs // 6) / dt / 1e12
-        print(f"fused logml grad contraction {label:12s} {dt*1e3:8.1f} ms"
-              f"  {tf:6.1f} TF useful  (~{tf*passes:6.1f} TF raw MXU)")
+    gram = kern.gram(x, nugget=1e-3)
+    jax.block_until_ready(gram)
 
-    from gpx.ops.pallas_chol import chol_inv, chol_inv_tile
-
-    spd = a @ a.T / n + 2.0 * jnp.eye(n)
-    t = 2048
-    # SPD input matters: a non-SPD tile NaNs the in-register Cholesky and
-    # NaN operands measured ~40x slower through the VPU loop (90 ms vs
-    # ~2 ms) — time the real workload
-    dt = _time(jax.jit(chol_inv_tile), spd[:t, :t])
-    print(f"chol_inv_tile base case ({t}^2)      {dt*1e3:8.1f} ms"
-          f"  ({n//t} of these per {n} factorization)")
-    dt = _time(jax.jit(chol_inv), spd)
+    dt = _time(jax.jit(chol_inv), gram)
     macs = dense_macs // 3              # chol N^3/6 + trtri N^3/6
     tf = 2 * macs / dt / 1e12
     print(f"chol_inv (L, L^-1) end-to-end        {dt*1e3:8.1f} ms"
           f"  {tf:6.1f} TF useful  (~{tf*3:6.1f} TF raw MXU)")
+
+    t = 2048
+    dt = _time(jax.jit(chol_inv_tile), gram[:t, :t])
+    print(f"chol_inv_tile base case ({t}^2)      {dt*1e3:8.1f} ms"
+          f"  ({n//t} serially-dependent per {n} factorization — the"
+          f" fori diagonal chain, not the MXU, binds here)")
+
+    l_inv = jax.jit(chol_inv)(gram)[1]
+    jax.block_until_ready(l_inv)
+    for label, fast in [("exact bf16x3", False), ("fast bf16x2", True)]:
+        f = jax.jit(lambda li, fa=fast: jax.tree_util.tree_leaves(
+            logml_kernel_grads(kern, x, alpha, li, fast=fa))[0])
+        dt = _time(f, l_inv)
+        passes = 2 if fast else 3
+        tf = 2 * (dense_macs // 6) / dt / 1e12
+        print(f"fused logml grad contraction {label:12s} {dt*1e3:8.1f} ms"
+              f"  {tf:6.1f} TF useful  (~{tf*passes:6.1f} TF raw MXU)")
 
 
 if __name__ == "__main__":

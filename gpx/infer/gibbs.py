@@ -16,6 +16,7 @@ Correctness divergences from the reference (documented; SURVEY.md §7):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import random
 
@@ -45,8 +46,13 @@ def sample_plane(key, prior: Normal, x, y, params: Parameters, *, nugget=1e-6):
     w = forward_solve(l, xd)       # L^{-1} X
     u = forward_solve(l, y)        # L^{-1} y
     prior_prec = jnp.eye(q, dtype=kxx.dtype) / (prior.scale**2)
-    prec = w.T @ w + prior_prec    # X^T K^{-1} X + P0
-    b = prior_prec @ (prior.loc * jnp.ones(q, dtype=kxx.dtype)) + w.T @ u
+    # HIGHEST: the conjugate precision is Cholesky-factored next — TPU's
+    # bf16 default matmul (5.8e-4 rel) is too loose for a (q, q) SPD build
+    hi = jax.lax.Precision.HIGHEST
+    prec = jnp.matmul(w.T, w, precision=hi) + prior_prec  # X^T K^{-1} X + P0
+    b = prior_prec @ (prior.loc * jnp.ones(q, dtype=kxx.dtype)) + jnp.matmul(
+        w.T, u, precision=hi
+    )
 
     l_prec = cholesky(prec)
     mean = back_solve(l_prec.T, forward_solve(l_prec, b))

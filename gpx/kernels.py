@@ -290,7 +290,12 @@ class Linear(Kernel):
         raise TypeError("Linear is non-stationary: no distance-only form")
 
     def evaluate_xx(self, x1, x2, r2):
-        return self.v * (x1 @ x2.T) + self.c
+        # HIGHEST: a bf16-default Gram (5.8e-4 rel on TPU) risks losing
+        # positive-definiteness before the Cholesky; D is small so the
+        # 6-pass contraction is cheap
+        return self.v * jnp.matmul(
+            x1, x2.T, precision=jax.lax.Precision.HIGHEST
+        ) + self.c
 
     def bijectors(self):
         return Linear(v=bij.positive, c=bij.positive)

@@ -64,7 +64,11 @@ def _newton_quantities(f, k, y_onehot):
         dk = sp[:, None] * kc * sp[None, :]
         lc = cholesky(jnp.eye(n, dtype=kc.dtype) + dk)
         inner = forward_solve(lc, jnp.diag(sp))
-        ec = inner.T @ inner                     # D^1/2 (I + D^1/2 K D^1/2)^-1 D^1/2
+        # HIGHEST: E_c feeds a summed Cholesky; TPU's bf16 default
+        # matrix-matrix precision (5.8e-4 rel) is too loose there
+        ec = jnp.matmul(                         # D^1/2 (I + D^1/2 K D^1/2)^-1 D^1/2
+            inner.T, inner, precision=jax.lax.Precision.HIGHEST
+        )
         zc = jnp.sum(jnp.log(jnp.diagonal(lc)))
         return ec, zc
 
@@ -160,7 +164,11 @@ def latent_predict(fitres: LaplaceFit, x, kernels, xs):
     diff = fitres.y_onehot - fitres.pi                           # (C, N)
     mu = jnp.einsum("cn,cnm->cm", diff, kxs)                     # (C, M)
 
-    b = jnp.einsum("cij,cjm->cim", fitres.e, kxs)                # (C, N, M)
+    # HIGHEST on the matrix-matrix contractions: sigma is a difference of
+    # like-sized terms and TPU's bf16 default (5.8e-4 rel) can flip small
+    # predictive variances negative (batched matvecs are f32-faithful)
+    hi = jax.lax.Precision.HIGHEST
+    b = jnp.einsum("cij,cjm->cim", fitres.e, kxs, precision=hi)  # (C, N, M)
     # Solve (sum_c E_c)^{-1} b_d PER CLASS (one batched trsm over the C*M
     # columns): Sigma*_{cd} = b_c^T (sum E)^{-1} b_d + delta_cd (kss - b_c^T k*_c).
     # Summing b over classes before the solve collapses the class axis and
@@ -171,7 +179,7 @@ def latent_predict(fitres: LaplaceFit, x, kernels, xs):
         fitres.m_chol, jnp.moveaxis(b, 1, 0).reshape(n, c * m)
     )
     sol = jnp.moveaxis(sol.reshape(n, c, m), 0, 1)               # (C, N, M)
-    sigma = jnp.einsum("cim,dim->mcd", b, sol)                   # (M, C, C)
+    sigma = jnp.einsum("cim,dim->mcd", b, sol, precision=hi)     # (M, C, C)
     diag_term = kss.T - jnp.einsum("cim,cim->mc", b, kxs)        # (M, C)
     sigma = sigma + jax.vmap(jnp.diag)(diag_term)
     return mu, sigma

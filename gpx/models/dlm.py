@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax, random
 
 from gpx.distributions import InverseGamma
+from gpx.utils.precision import highest_matmuls
 from gpx.utils.pytree import pytree_dataclass
 
 
@@ -105,6 +106,7 @@ def _chol_psd(m):
     return l
 
 
+@highest_matmuls
 def kalman_filter(model: DLM, ys, v, w, m0, c0) -> FilterResult:
     """Forward Kalman filter as one scan. ``ys: (T, d_obs)`` with NaNs for
     missing entries; ``v``: (d_obs, d_obs) or (d_obs,) diagonal; ``w``:
@@ -154,6 +156,7 @@ def kalman_filter(model: DLM, ys, v, w, m0, c0) -> FilterResult:
     return FilterResult(m=ms, c=cs, a=as_, r=rs, log_likelihood=ll)
 
 
+@highest_matmuls
 def ffbs(key, model: DLM, filtered: FilterResult, w=None):
     """Forward-filter backward-sample state draw (the SvdSampler.ffbsDlm
     capability, FitDlmGp.scala:121-125) as a reverse scan.
@@ -200,6 +203,7 @@ def ffbs(key, model: DLM, filtered: FilterResult, w=None):
     return jnp.concatenate([xs_rev, x_last[None]], axis=0)
 
 
+@highest_matmuls
 def smooth(model: DLM, filtered: FilterResult):
     """RTS smoother (the reference's smoothing study,
     TemperatureDlm.scala:256-359). Returns (means, covs)."""
@@ -226,6 +230,7 @@ def smooth(model: DLM, filtered: FilterResult):
     return means, covs
 
 
+@highest_matmuls
 def forecast(model: DLM, m_last, c_last, v, w, n_ahead: int):
     """Iterated one-step-ahead forecast (DlmGp.forecastStep,
     examples/DlmGp.scala:100-133). Returns (obs_means, obs_covs)."""
@@ -287,6 +292,7 @@ class ConjugateFilterResult(NamedTuple):
     forecast_df: jnp.ndarray     # (T,) Student-t degrees of freedom
 
 
+@highest_matmuls
 def conjugate_filter(model: DLM, ys, w_star, m0, c0, prior_v: InverseGamma):
     """Kalman filter with the observation variance integrated out.
 

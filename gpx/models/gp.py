@@ -382,7 +382,10 @@ def fit(
 
     if full_cov:
         kss = params.kernel.gram(xs)
-        cov = kss - a.T @ a
+        # HIGHEST: the posterior covariance is a difference of like-sized
+        # terms; TPU's bf16 default matmul (5.8e-4 rel) can push small
+        # variances negative
+        cov = kss - jnp.matmul(a.T, a, precision=jax.lax.Precision.HIGHEST)
         return mean, cov
     kss_diag = params.kernel.diag(xs, dtype=mean.dtype)
     # clamp: k(s,s) - |a|^2 cancels to slightly negative in f32 when the

@@ -95,8 +95,16 @@ def _tri_inverse_recursive(l, base: int):
         ba = trmm(b, a_inv, mode="right_lower")
         lower_left = -trmm(ba, c_inv, mode="left_lower")
     else:
-        ba = jnp.matmul(b, a_inv, preferred_element_type=l.dtype)
-        lower_left = -jnp.matmul(c_inv, ba, preferred_element_type=l.dtype)
+        # HIGHEST: TPU's default matrix-matrix precision is single-pass
+        # bf16 (5.8e-4 rel, measured round 3) — an explicit inverse built
+        # from bf16 products is no longer f32-grade. This is the fallback
+        # path (non-power-of-2 N); the production route is the bf16x3
+        # Pallas chol_inv with its logdet correction.
+        hi = jax.lax.Precision.HIGHEST
+        ba = jnp.matmul(b, a_inv, preferred_element_type=l.dtype, precision=hi)
+        lower_left = -jnp.matmul(
+            c_inv, ba, preferred_element_type=l.dtype, precision=hi
+        )
     top = jnp.concatenate(
         [a_inv, jnp.zeros((*l.shape[:-2], m, n - m), dtype=l.dtype)], axis=-1
     )
@@ -109,7 +117,8 @@ def spd_inverse_from_chol(l, base: int = 256):
     + one syrk-shaped matmul (the LAPACK ``potri`` capability)."""
     l_inv = tri_inverse_lower(l, base)
     return jnp.matmul(
-        l_inv.swapaxes(-1, -2), l_inv, preferred_element_type=l.dtype
+        l_inv.swapaxes(-1, -2), l_inv, preferred_element_type=l.dtype,
+        precision=jax.lax.Precision.HIGHEST,   # see _tri_inverse_recursive
     )
 
 

@@ -72,7 +72,12 @@ def sq_distances(x1, x2=None):
     else:
         n1 = jnp.sum(x1 * x1, axis=-1)
         n2 = n1 if symmetric else jnp.sum(x2 * x2, axis=-1)
-        r2 = n1[:, None] + n2[None, :] - 2.0 * (x1 @ x2.T)
+        # HIGHEST: TPU's default matrix-matrix precision is single-pass
+        # bf16 (measured 5.8e-4 rel, round 3) — that would undo the
+        # centering care above; the D-deep contraction is cheap at HIGHEST
+        r2 = n1[:, None] + n2[None, :] - 2.0 * jnp.matmul(
+            x1, x2.T, precision=jax.lax.Precision.HIGHEST
+        )
     r2 = jnp.maximum(r2, 0.0)
     if symmetric:
         r2 = jnp.fill_diagonal(r2, 0.0, inplace=False)
