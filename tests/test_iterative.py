@@ -187,8 +187,10 @@ def test_preconditioned_slq_beats_plain_on_ill_conditioned(rng):
 
 def test_iterative_logml_matches_dense(rng):
     p, x, y = _toy(rng, n=250)
+    # config matches test_iterative_logml_precond_matches_plain so the two
+    # tests share one jit compilation (suite wall-time; round-3 VERDICT 9)
     result = logml_value_and_grad_iterative(
-        p, x, y, jax.random.PRNGKey(1), n_probes=24, lanczos_iters=40,
+        p, x, y, jax.random.PRNGKey(1), n_probes=16, lanczos_iters=40,
         cg_tol=1e-8,
     )
     dense_val, dense_grads = gp.logml_value_and_grad(p, x, y, method="autodiff")
@@ -279,7 +281,10 @@ def test_preconditioned_probes_reduce_gradient_variance(rng):
     trace uses z ~ N(0, P) probes weighted by P^{-1} z; across seeds the
     gradient estimates must (a) stay unbiased (match dense) and (b) have
     materially lower variance than the plain-Rademacher estimator."""
-    p, x, y = _toy(rng, n=192)
+    # n/probes/lanczos/rank match the two logml tests above so ALL eight
+    # calls here hit their already-compiled programs (the PRNGKey is a
+    # traced argument) — suite wall-time, round-3 VERDICT 9
+    p, x, y = _toy(rng, n=250)
     _, dense_grads = gp.logml_value_and_grad(p, x, y, method="autodiff")
     want = np.asarray(
         [float(v) for v in jax.tree_util.tree_leaves(dense_grads.kernel)]
@@ -287,20 +292,27 @@ def test_preconditioned_probes_reduce_gradient_variance(rng):
 
     def grads_for(seed, rank):
         res = logml_value_and_grad_iterative(
-            p, x, y, jax.random.PRNGKey(seed), n_probes=8,
-            lanczos_iters=24, cg_tol=1e-8, precond_rank=rank,
+            p, x, y, jax.random.PRNGKey(seed), n_probes=16,
+            lanczos_iters=40, cg_tol=1e-8, precond_rank=rank,
         )
         return np.asarray(
             [float(v) for v in jax.tree_util.tree_leaves(res.grads.kernel)]
         )
 
     plain = np.stack([grads_for(s, 0) for s in range(4)])
-    pcond = np.stack([grads_for(s, 48) for s in range(4)])
+    pcond = np.stack([grads_for(s, 30) for s in range(4)])
     # unbiased: seed-mean close to dense for both estimators
     np.testing.assert_allclose(pcond.mean(0), want, rtol=0.25, atol=0.3)
-    # variance reduction on the noisiest component
+    # Variance semantics: when P ~ K (rank 30 is near-exact at n=250), the
+    # P-probe estimator u^T P^-1/2 Kdot K^-1 P^-1/2 u equals the plain one
+    # EXACTLY for components whose Kdot commutes with K (SE amplitude h:
+    # Kdot ∝ K - cI; White sigma: Kdot ∝ I) — so those variances match to
+    # float jitter, and the reduction shows on the non-commuting component
+    # (the lengthscale). Assert no component gets worse and at least one
+    # improves materially.
     v_plain = plain.var(0)
     v_pcond = pcond.var(0)
-    assert v_pcond.max() < v_plain.max(), (v_pcond, v_plain)
+    assert (v_pcond <= v_plain * 1.001 + 1e-12).all(), (v_pcond, v_plain)
+    assert (v_pcond < 0.7 * v_plain).any(), (v_pcond, v_plain)
     # and overall
     assert v_pcond.sum() < v_plain.sum()
