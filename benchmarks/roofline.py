@@ -49,15 +49,15 @@ def main(n=8192):
 
     dense_macs = n * n * n
 
-    # XLA dense matmul: f32 (6-pass on this MXU), bf16 1-pass, and the
-    # 3-pass bf16x3 split the gpx kernels use
-    # DEFAULT f32 (f32-faithful on this platform, CLAUDE.md) — HIGHEST
-    # lowers to a catastrophically slow path here (measured 51 s at 8k;
-    # don't use it for XLA-side matmuls)
+    # XLA dense matmul references. The DEFAULT-precision f32 matmul is
+    # SINGLE-PASS bf16 on this chip (times identically to the explicit
+    # bf16 product — the accuracy cost is what gpx/utils/precision.py
+    # guards against); HIGHEST lowers to a catastrophically slow path
+    # here (measured 51 s at 8k; don't use it for XLA-side matmuls).
     for name, f, macs, passes in [
-        ("xla f32 matmul (default)",
+        ("xla f32-default matmul (1-pass bf16)",
          jax.jit(lambda x, y: jax.lax.dot(x, y)),
-         dense_macs, 6),
+         dense_macs, 1),
         ("xla bf16 matmul (1-pass)",
          jax.jit(lambda x, y: jax.lax.dot(
              x.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
