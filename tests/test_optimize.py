@@ -1,0 +1,98 @@
+"""Type-II MLE / MAP optimization (gpx.models.optimize).
+
+The reference has no deterministic hyperparameter estimation (MCMC only,
+KernelParameters.scala:121-154,231-246); these tests pin the GPML ch. 5
+workflow built on the same bijector + analytic-gradient machinery.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpx
+from gpx.models import gp
+from gpx.models.optimize import optimize
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(np.sort(rng.uniform(-10, 10, size=(300, 1)), axis=0))
+    truth = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.se(2.0, 3.0) + gpx.white(0.4)
+    )
+    y = gp.draw(jax.random.PRNGKey(0), truth, x, nugget=1e-6)
+    init = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.se(0.8, 1.0) + gpx.white(1.5)
+    )
+    return truth, init, x, y
+
+
+def test_lbfgs_reaches_mle(problem):
+    truth, init, x, y = problem
+    res = optimize(init, x, y, steps=60)
+    assert bool(res.converged), float(res.grad_norm)
+    # the MLE can only beat the generating parameters' logML
+    assert float(res.value) >= float(gp.log_marginal_likelihood(truth, x, y))
+    # and must improve on the start
+    assert float(res.value) > float(gp.log_marginal_likelihood(init, x, y))
+    # recovered hyperparameters on the right scale (broad: one draw of n=300)
+    leaves = [float(v) for v in jax.tree_util.tree_leaves(res.params.kernel)]
+    want = [float(v) for v in jax.tree_util.tree_leaves(truth.kernel)]
+    np.testing.assert_allclose(leaves, want, rtol=1.0)
+    # bijectors kept everything positive
+    assert all(v > 0 for v in leaves)
+
+
+def test_adam_and_autodiff_agree_with_lbfgs(problem):
+    _, init, x, y = problem
+    ref = optimize(init, x, y, steps=60)
+    adam = optimize(init, x, y, steps=400, optimizer="adam",
+                    learning_rate=0.05)
+    auto = optimize(init, x, y, steps=60, method="autodiff")
+    np.testing.assert_allclose(float(adam.value), float(ref.value), rtol=1e-8)
+    np.testing.assert_allclose(float(auto.value), float(ref.value), rtol=1e-10)
+
+
+def test_map_prior_pulls_optimum(problem):
+    _, init, x, y = problem
+    mle = optimize(init, x, y, steps=60)
+    tight = gpx.distributions.Gamma(200.0, 20.0)  # mean 10, sd ~0.7
+
+    def log_prior(p):
+        return tight.logpdf(p.kernel.kernels[0].sigma)
+
+    res = optimize(init, x, y, steps=60, log_prior=log_prior)
+    ls_map = float(res.params.kernel.kernels[0].sigma)
+    ls_mle = float(mle.params.kernel.kernels[0].sigma)
+    # the prior (mean 10) pulls the lengthscale above the MLE value
+    assert ls_map > ls_mle
+    assert abs(ls_map - 10.0) < abs(ls_mle - 10.0)
+
+
+def test_values_trace_monotone_tail(problem):
+    _, init, x, y = problem
+    res = optimize(init, x, y, steps=60)
+    vals = np.asarray(res.values)
+    # after warmup the L-BFGS objective trace is non-decreasing (logML scale)
+    tail = vals[10:]
+    assert (np.diff(tail) >= -1e-6).all()
+
+
+def test_matern_optimize_smoke(problem):
+    _, _, x, y = problem
+    init = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.matern(1.0, 1.5, 2.0) + gpx.white(1.0)
+    )
+    res = optimize(init, x, y, steps=40)
+    assert np.isfinite(float(res.value))
+    assert float(res.value) > float(gp.log_marginal_likelihood(init, x, y))
+
+
+def test_bad_optimizer_raises(problem):
+    _, init, x, y = problem
+    with pytest.raises(ValueError):
+        optimize(init, x, y, optimizer="sgd")
+    with pytest.raises(ValueError):
+        optimize(init, x, y, method="magic")
