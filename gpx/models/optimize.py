@@ -62,6 +62,9 @@ def optimize(
     method: str = "analytic",
     grad_tol: float = 1e-3,
     history_size: int = 10,
+    mesh=None,
+    mesh_axis: str = "data",
+    panel: int = 128,
 ) -> OptimizeResult:
     """Maximize the exact-GP marginal likelihood over hyperparameters.
 
@@ -79,6 +82,14 @@ def optimize(
     mapped to ``+inf`` so the linesearch backtracks instead of poisoning
     the state, mirroring the samplers' NaN-guarded accepts (SURVEY.md §5
     failure detection).
+
+    Passing a ``jax.sharding.Mesh`` as ``mesh`` runs every logML (and its
+    gradient) fully distributed — Gram, panel Cholesky, and solves row-
+    sharded over ``mesh_axis`` with the backward pass riding the same ICI
+    collectives (``gpx.parallel.distributed_logml``) — i.e. multi-chip
+    type-II MLE for data sets no single chip can factor. ``method`` is
+    ignored in that case (AD through shard_map is the distributed
+    analytic path); ``panel`` is the factorization panel width.
     """
     x, y = check_xy(x, y)
     if optimizer not in ("lbfgs", "adam"):
@@ -88,7 +99,14 @@ def optimize(
     u0 = unconstrain(bij, params)
     flat0, unravel = unraveler(u0)
 
-    if method == "analytic":
+    if mesh is not None:
+        from gpx.parallel.dist_chol import distributed_logml
+
+        def loglik(p):
+            return distributed_logml(
+                p, x, y, mesh, axis=mesh_axis, nugget=nugget, panel=panel
+            )
+    elif method == "analytic":
         loglik = gp.log_marginal_likelihood_analytic_vjp(x, y, nugget=nugget)
     elif method == "autodiff":
         def loglik(p):

@@ -127,3 +127,26 @@ def test_distributed_predict_matches_local(rng):
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(got.variance),
                                np.asarray(want.variance), atol=1e-8)
+
+
+def test_distributed_optimize_matches_local(rng):
+    """Multi-chip type-II MLE: gp.optimize(mesh=...) — the L-BFGS loop over
+    the fully distributed logML+gradient — must land on the same optimum as
+    the single-device optimizer."""
+    from gpx.models.optimize import optimize
+
+    mesh = make_mesh(data=8)
+    n = 256
+    x = jnp.asarray(random_locations(rng, n, 1, scale=5.0))
+    truth = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    y = gp.draw(jax.random.PRNGKey(5), truth, x, nugget=1e-6)
+    init = Parameters(mean=zero(), kernel=se(1.0, 1.0) + white(1.0))
+
+    # distributed_logml's nugget default (1e-3) is the local LOGML_NUGGET
+    local = optimize(init, x, y, steps=30, method="autodiff")
+    dist = optimize(init, x, y, steps=30, mesh=mesh, panel=32)
+    np.testing.assert_allclose(float(dist.value), float(local.value),
+                               rtol=1e-8)
+    got = [float(v) for v in jax.tree_util.tree_leaves(dist.params.kernel)]
+    want = [float(v) for v in jax.tree_util.tree_leaves(local.params.kernel)]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
