@@ -24,6 +24,7 @@ exact logML where no chip ever materializes the full K or L
 from __future__ import annotations
 
 import functools
+import os
 from functools import partial
 
 import jax
@@ -427,8 +428,43 @@ def distributed_logml_value_and_grad(params, x, y, mesh: Mesh, *,
     jitted function is cached per (mesh, axis, nugget, panel) so repeated
     calls (optimizer/sampler loops) hit jit's trace cache instead of
     recompiling a fresh lambda every time (review finding; compiles cost
-    30-120 s in this environment)."""
-    return _dlvg_jitted(mesh, axis, float(nugget), int(panel))(params, x, y)
+    30-120 s in this environment).
+
+    When the mesh spans every local device, the compiled executable is
+    additionally persisted via the on-disk AOT cache
+    (gpx.utils.aot.cached_compile), so a NEW process with the same
+    topology skips the multi-minute distributed compile entirely —
+    disable with ``GPX_AOT_CACHE=0``. TPU-family backends only: the XLA
+    *CPU* runtime loses fused-function symbols when deserializing these
+    shard_map programs (measured round 3: "Buffer Definition Event:
+    Function ... not found" at invocation, cross-process too), so on CPU
+    the whole layer is bypassed unless ``GPX_AOT_CACHE_DIST=1`` forces it
+    (the test lane forces it to cover the persist/key logic; the reload
+    path is chip-verified — see gpx/utils/aot.py)."""
+    fn = _dlvg_jitted(mesh, axis, float(nugget), int(panel))
+    cpu_ok = os.environ.get("GPX_AOT_CACHE_DIST") == "1"
+    if (os.environ.get("GPX_AOT_CACHE", "1") != "0"
+            and (jax.default_backend() != "cpu" or cpu_ok)
+            and set(mesh.devices.flat) == set(jax.local_devices())):
+        key = (mesh.shape_tuple, mesh.axis_names, axis, float(nugget),
+               int(panel), jax.tree_util.tree_structure((params, x, y)),
+               tuple((v.shape, str(v.dtype))
+                     for v in jax.tree_util.tree_leaves((params, x, y))))
+        cached = _DLVG_EXECUTABLES.get(key)
+        if cached is None:
+            try:
+                from gpx.utils.aot import cached_compile
+
+                cached = cached_compile(fn, params, x, y)
+            except Exception:
+                cached = False           # lowering/serialization quirk:
+            _DLVG_EXECUTABLES[key] = cached  # remember, don't retry per call
+        if cached is not False:
+            return cached(params, x, y)
+    return fn(params, x, y)
+
+
+_DLVG_EXECUTABLES: dict = {}
 
 
 @functools.lru_cache(maxsize=16)
