@@ -38,7 +38,29 @@ class PosteriorSamples(NamedTuple):
 
 
 def _gp_log_density(x, y, log_prior, nugget, safe=False,
-                    analytic_gradients=False):
+                    analytic_gradients=False, mesh=None, mesh_axis="data",
+                    panel=128):
+    if mesh is not None:
+        if safe or analytic_gradients:
+            raise ValueError(
+                "mesh= is its own likelihood path (distributed panel "
+                "Cholesky; AD through shard_map IS the distributed "
+                "analytic gradient) — combine it with neither safe=True "
+                "nor analytic_gradients=True"
+            )
+        # multi-chip likelihood: Gram, factorization and solves row-sharded
+        # over mesh_axis; every jax.grad of the log-posterior (one per
+        # leapfrog step) transposes the same collectives (all_gather ->
+        # reduce_scatter, psum -> broadcast), so gradient-based samplers
+        # run at data sizes no single chip can factor
+        from gpx.parallel.dist_chol import distributed_logml
+
+        def log_density(p: Parameters):
+            return log_prior(p) + distributed_logml(
+                p, x, y, mesh, axis=mesh_axis, nugget=nugget, panel=panel
+            )
+
+        return log_density
     if analytic_gradients:
         if safe:
             raise ValueError(
@@ -172,6 +194,9 @@ def sample_hmc(
     nugget: float = gp.LOGML_NUGGET,
     init_jitter: float = 0.1,
     analytic_gradients: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
+    panel: int = 128,
 ) -> PosteriorSamples:
     """HMC with autodiff gradients through the Cholesky — the rebuild of
     ``KernelParameters.sampleHmc`` (KernelParameters.scala:121-154). When
@@ -181,16 +206,21 @@ def sample_hmc(
     matrix in a Stan-style window. ``analytic_gradients=True`` routes every
     leapfrog gradient through the fused analytic path
     (gp.log_marginal_likelihood_analytic_vjp) — ~10x per gradient at
-    N=16k."""
+    N=16k. Passing a ``jax.sharding.Mesh`` as ``mesh`` instead runs every
+    likelihood AND leapfrog gradient through the distributed panel
+    Cholesky (gpx.parallel.distributed_logml) with K row-sharded over
+    ``mesh_axis`` — multi-chip HMC for data no single chip can factor;
+    chains then run back-to-back so each owns the whole mesh."""
     log_density = _gp_log_density(
-        x, y, log_prior, nugget, analytic_gradients=analytic_gradients
+        x, y, log_prior, nugget, analytic_gradients=analytic_gradients,
+        mesh=mesh, mesh_axis=mesh_axis, panel=panel,
     )
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
     )
     k_init, k_wu, k_run = random.split(key, 3)
     inits = _disperse(k_init, flat0, n_chains, init_jitter)
-    sequential = analytic_gradients or x.shape[0] >= 8192
+    sequential = analytic_gradients or mesh is not None or x.shape[0] >= 8192
 
     mass_c = None
     if eps is None:
@@ -321,6 +351,9 @@ def sample_nuts(
     init_jitter: float = 0.1,
     analytic_gradients: bool = False,
     adapt_mass: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
+    panel: int = 128,
 ) -> PosteriorSamples:
     """No-U-Turn sampling over all hyperparameters — the flagship sampler,
     beyond the reference (whose answer to path-length tuning is empirical
@@ -334,9 +367,12 @@ def sample_nuts(
     (window_warmup): on anisotropic GP posteriors the unit metric forces
     deep trees along the tight direction — the adapted metric cuts tree
     depth and lifts ESS (tested in tests/test_mcmc_gp.py). Extras then
-    also carry the per-chain ``mass``."""
+    also carry the per-chain ``mass``. ``mesh=`` routes every likelihood
+    and gradient through the distributed panel Cholesky (multi-chip NUTS;
+    see sample_hmc)."""
     log_density = _gp_log_density(
-        x, y, log_prior, nugget, analytic_gradients=analytic_gradients
+        x, y, log_prior, nugget, analytic_gradients=analytic_gradients,
+        mesh=mesh, mesh_axis=mesh_axis, panel=panel,
     )
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
@@ -361,7 +397,8 @@ def sample_nuts(
 
     (result, extras) = _run_chains(
         run_one, (random.split(k_run, n_chains), inits),
-        sequential=analytic_gradients or x.shape[0] >= 8192,
+        sequential=analytic_gradients or mesh is not None
+        or x.shape[0] >= 8192,
     )
     positions, depths = result.samples
     extras = dict(extras, depth=depths)
