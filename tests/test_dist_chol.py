@@ -222,3 +222,28 @@ def test_hmc_nuts_over_mesh_match_local(rng):
                         mesh=mesh, panel=32, **nkw)
     np.testing.assert_allclose(np.asarray(distn.flat),
                                np.asarray(localn.flat), rtol=1e-5, atol=1e-7)
+
+
+def test_distributed_optimize_map(rng):
+    """MAP over the mesh: log_prior composes with the distributed
+    likelihood exactly as with the local one."""
+    from gpx.distributions import Gamma
+    from gpx.models.optimize import optimize
+
+    mesh = make_mesh(data=8)
+    n = 256
+    x = jnp.asarray(random_locations(rng, n, 1, scale=5.0))
+    truth = Parameters(mean=zero(), kernel=se(3.0, 5.5) + white(0.5))
+    y = gp.draw(jax.random.PRNGKey(5), truth, x, nugget=1e-6)
+    init = Parameters(mean=zero(), kernel=se(1.0, 1.0) + white(1.0))
+
+    def log_prior(p):
+        g = Gamma(2.0, 2.0)
+        return sum(g.logpdf(l) for l in jax.tree_util.tree_leaves(p.kernel))
+
+    local = optimize(init, x, y, steps=20, method="autodiff",
+                     log_prior=log_prior)
+    dist = optimize(init, x, y, steps=20, mesh=mesh, panel=32,
+                    log_prior=log_prior)
+    np.testing.assert_allclose(float(dist.value), float(local.value),
+                               rtol=1e-8)

@@ -17,9 +17,13 @@ import pytest
 
 
 def pytest_collection_modifyitems(config, items):
-    import jax
+    try:
+        import jax
 
-    if jax.default_backend() != "tpu":
+        is_tpu = jax.default_backend() == "tpu"
+    except Exception:                     # tunnel down: backend init raises
+        is_tpu = False
+    if not is_tpu:
         skip = pytest.mark.skip(reason="no TPU backend — chip lane skipped")
         for item in items:
             item.add_marker(skip)

@@ -141,3 +141,39 @@ def test_aot_cache_roundtrip(tmp_path, rng):
     # cached load is sub-second
     assert time.time() - t0 < 2.0
     assert jnp.array_equal(out1, out2)
+
+
+def test_mesh_sampler_and_optimize_on_chip(rng):
+    """Round-3 distributed API on a 1-device mesh (the only real-chip
+    topology here): sample_hmc(mesh=) — every leapfrog gradient AD
+    through the panel Cholesky — and gp.optimize(mesh=) both run and
+    return finite results. The 8-device exactness checks live in
+    tests/test_dist_chol.py on the virtual CPU mesh."""
+    import gpx
+    from gpx.distributions import Gamma
+    from gpx.infer.mcmc import sample_hmc
+    from gpx.models import gp
+    from gpx.models.optimize import optimize
+    from jax.sharding import Mesh
+
+    n = 256
+    x = jnp.asarray(np.sort(rng.uniform(-10, 10, size=(n, 1)), axis=0),
+                    jnp.float32)
+    params = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.se(3.0, 5.5) + gpx.white(0.5)
+    )
+    y = gp.draw(jax.random.PRNGKey(2), params, x, nugget=1e-6)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+
+    def log_prior(p):
+        g = Gamma(2.0, 2.0)
+        return sum(g.logpdf(l) for l in jax.tree_util.tree_leaves(p.kernel))
+
+    post = sample_hmc(
+        jax.random.PRNGKey(5), x, y, params, log_prior,
+        n_samples=5, l=3, eps=0.05, n_chains=1, mesh=mesh, panel=32,
+    )
+    assert bool(jnp.isfinite(post.flat).all())
+
+    mle = optimize(params, x, y, steps=5, mesh=mesh, panel=32)
+    assert bool(jnp.isfinite(mle.value))
