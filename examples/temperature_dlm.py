@@ -97,7 +97,7 @@ def fit_and_forecast(args, model, ys, m0, c0):
     return v_hat, w_hat, filtered
 
 
-def smoothing_study(args, model, ys, v_hat, w_hat, filtered):
+def smoothing_study(args, model, ys, filtered):
     """Study 2 (TemperatureDlm.scala:256-359): RTS smoothing at the
     posterior-mean variances, smoothed-level plot, and a spatial GP fitted
     on the SMOOTHED residuals by MH."""
@@ -141,7 +141,7 @@ def smoothing_study(args, model, ys, v_hat, w_hat, filtered):
           np.round(np.median(np.asarray(post.flat).reshape(-1, 3), 0), 3))
 
 
-def heldout_conjugate_forecast(args, ys, m0_full, c0_full):
+def heldout_conjugate_forecast(ys, m0_full, c0_full):
     """Study 3 (TemperatureDlm.scala:361-402): conjugate-filter the first 7
     sensors (observation variance integrated out), then one-step Student-t
     forecasts for the held-out 8th sensor through the shared latent state."""
@@ -212,8 +212,8 @@ def main():
     c0 = jnp.eye(d_state) * 10.0
 
     v_hat, w_hat, filtered = fit_and_forecast(args, model, ys, m0, c0)
-    smoothing_study(args, model, ys, v_hat, w_hat, filtered)
-    heldout_conjugate_forecast(args, ys, m0, c0)
+    smoothing_study(args, model, ys, filtered)
+    heldout_conjugate_forecast(ys, m0, c0)
 
 
 if __name__ == "__main__":

@@ -222,6 +222,11 @@ def sample_hmc(
     inits = _disperse(k_init, flat0, n_chains, init_jitter)
     sequential = analytic_gradients or mesh is not None or x.shape[0] >= 8192
 
+    if adapt_mass and eps is not None:
+        raise ValueError(
+            "adapt_mass=True estimates the mass matrix during the "
+            "dual-averaging warmup, which only runs when eps is None"
+        )
     mass_c = None
     if eps is None:
         wu_keys = random.split(k_wu, n_chains)

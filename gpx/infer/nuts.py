@@ -250,6 +250,12 @@ def sample(
     anisotropic GP posteriors (signal amplitude vs length-scale scales
     differing by orders of magnitude) tree-double poorly under a unit
     metric."""
+    if adapt_mass and eps is not None:
+        raise ValueError(
+            "adapt_mass=True estimates the mass matrix during the "
+            "dual-averaging warmup, which only runs when eps is None — "
+            "pass eps=None (or drop adapt_mass and supply mass= directly)"
+        )
     k_wu, k_main = random.split(key)
     position = jnp.asarray(init_position)
     if eps is None and adapt_mass:

@@ -130,13 +130,14 @@ def optimize(
         def step(carry, _):
             uflat, opt_state = carry
             value, grad = value_and_grad(uflat, state=opt_state)
+            gnorm = jnp.linalg.norm(grad)   # raw: NaN/inf must stay visible
             grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
             updates, opt_state = opt.update(
                 grad, opt_state, uflat,
                 value=value, grad=grad, value_fn=objective,
             )
             uflat = optax.apply_updates(uflat, updates)
-            return (uflat, opt_state), (value, jnp.linalg.norm(grad))
+            return (uflat, opt_state), (value, gnorm)
     else:
         opt = optax.adam(learning_rate)
         value_and_grad = jax.value_and_grad(objective)
@@ -144,24 +145,30 @@ def optimize(
         def step(carry, _):
             uflat, opt_state = carry
             value, grad = value_and_grad(uflat)
+            gnorm = jnp.linalg.norm(grad)   # raw: NaN/inf must stay visible
             grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
             updates, opt_state = opt.update(grad, opt_state, uflat)
             uflat = optax.apply_updates(uflat, updates)
-            return (uflat, opt_state), (value, jnp.linalg.norm(grad))
+            return (uflat, opt_state), (value, gnorm)
 
     def run(uflat):
         (u_final, _), (vals, gnorms) = lax.scan(
             step, (uflat, opt.init(uflat)), None, length=steps
         )
-        return u_final, vals, gnorms
+        # final value AND gradient at the RETURNED iterate (the scan's
+        # per-step trace is at pre-update points), inside this same jitted
+        # program: an eager objective(u_final) would re-pay a full
+        # O(N^3) logML (and, with mesh=, an eager shard_map dispatch)
+        final_value, final_grad = jax.value_and_grad(objective)(u_final)
+        return u_final, vals, gnorms, final_value, jnp.linalg.norm(final_grad)
 
-    u_final, vals, gnorms = jax.jit(run)(flat0)
+    u_final, vals, gnorms, final_obj, final_gnorm = jax.jit(run)(flat0)
 
-    final_value = -objective(u_final)
+    converged = bool(jnp.isfinite(final_obj)) and bool(final_gnorm < grad_tol)
     return OptimizeResult(
         params=constrain(bij, unravel(u_final)),
-        value=final_value,
+        value=-final_obj,
         values=-vals,
-        grad_norm=gnorms[-1],
-        converged=gnorms[-1] < grad_tol,
+        grad_norm=final_gnorm,
+        converged=converged,
     )

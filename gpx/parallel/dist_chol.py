@@ -458,6 +458,9 @@ def distributed_logml_value_and_grad(params, x, y, mesh: Mesh, *,
                 cached = cached_compile(fn, params, x, y)
             except Exception:
                 cached = False           # lowering/serialization quirk:
+            while len(_DLVG_EXECUTABLES) >= 16:   # bounded, like _dlvg_jitted:
+                _DLVG_EXECUTABLES.pop(            # executables pin device
+                    next(iter(_DLVG_EXECUTABLES)))  # programs for the process
             _DLVG_EXECUTABLES[key] = cached  # remember, don't retry per call
         if cached is not False:
             return cached(params, x, y)

@@ -19,6 +19,15 @@ Cache entries are invalidated by anything that changes the lowered text
 (shapes, dtypes, program structure, jax version, backend); a cache that
 fails to deserialize (e.g. different runtime) falls back to a fresh
 compile and overwrites the entry.
+
+CAVEAT (measured, round 3): the XLA *CPU* runtime can deserialize a
+multi-device shard_map executable successfully and then fail at
+INVOCATION time ("Buffer Definition Event: Function ... not found") —
+an error the load-path try/except cannot see. TPU round-trips are
+chip-verified. On CPU, prefer leaving complex mesh programs to fresh
+compiles (set ``GPX_AOT_LOAD=0`` to disable the load path entirely);
+gpx's own distributed entry points gate themselves off CPU
+(gpx/parallel/dist_chol.py).
 """
 
 from __future__ import annotations
@@ -76,7 +85,7 @@ def cached_compile(fn, *args, cache_dir=None, key_extra: str = "", **kwargs):
     lowered = jax.jit(fn).lower(*args, **kwargs)
 
     path = cache_dir / f"{_cache_key(lowered, key_extra)}.pkl"
-    if path.exists():
+    if path.exists() and os.environ.get("GPX_AOT_LOAD", "1") != "0":
         try:
             with open(path, "rb") as fh:
                 payload, in_tree, out_tree = pickle.load(fh)

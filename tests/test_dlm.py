@@ -277,12 +277,9 @@ def test_heldout_conjugate_forecast_coverage():
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
     from examples import temperature_dlm as td
 
-    class A:
-        seed = 0
-
     model, ys = td.simulate(jax.random.PRNGKey(0), t=24 * 7 * 2)
     d_state = model.g.shape[0]
     cover = td.heldout_conjugate_forecast(
-        A, ys, jnp.zeros(d_state), jnp.eye(d_state) * 10.0
+        ys, jnp.zeros(d_state), jnp.eye(d_state) * 10.0
     )
     assert 0.75 <= cover <= 0.99
