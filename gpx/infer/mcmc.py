@@ -144,21 +144,29 @@ def sample_mh(
     nugget: float = gp.LOGML_NUGGET,
     init_jitter: float = 0.1,
     safe: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
+    panel: int = 128,
 ) -> PosteriorSamples:
     """Metropolis-Hastings over all hyperparameters — the rebuild of
     ``KernelParameters.sample`` + ``ParametersSimulatedGp``
     (KernelParameters.scala:231-246, SimulatedGp.scala:100-166): Gaussian
     random walk on unconstrained (log) space == the reference's log-scale
-    proposal, with the Jacobian term it omitted."""
-    log_density = _gp_log_density(x, y, log_prior, nugget, safe=safe)
+    proposal, with the Jacobian term it omitted. ``mesh=`` shards every
+    likelihood over the distributed panel Cholesky with chains
+    back-to-back (1-D data sharding; for chains x data use
+    gpx.parallel.sample_mh_2d)."""
+    log_density = _gp_log_density(x, y, log_prior, nugget, safe=safe,
+                                  mesh=mesh, mesh_axis=mesh_axis, panel=panel)
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
     )
     k_init, k_run = random.split(key)
     inits = _disperse(k_init, flat0, n_chains, init_jitter)
     step = mh.kernel(logpost, mh.gaussian_random_walk(proposal_scale))
-    sequential = x.shape[0] >= 8192        # see _run_chains
-    init_states = jax.jit(jax.vmap(lambda f: mh.init(f, logpost)))(inits)
+    sequential = mesh is not None or x.shape[0] >= 8192    # see _run_chains
+    init_states = _run_chains(lambda f: mh.init(f, logpost), (inits,),
+                              sequential=sequential)
     result = base.sample_chains(
         step,
         init_states,
@@ -298,14 +306,20 @@ def sample_ehmc(
     nugget: float = gp.LOGML_NUGGET,
     init_jitter: float = 0.1,
     analytic_gradients: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
+    panel: int = 128,
 ) -> PosteriorSamples:
     """Empirical HMC — the rebuild of ``KernelParameters.sampleEhmc``
     (KernelParameters.scala:169-198), whole pipeline vmapped per chain.
     ``k`` (size of the empirical U-turn-length distribution) defaults to the
     reference's 2000 (Ehmc.scala:95); each warmup length measurement costs a
-    full trajectory of logML+grad evals, so lower it for quick runs."""
+    full trajectory of logML+grad evals, so lower it for quick runs.
+    ``mesh=`` runs every likelihood/gradient through the distributed
+    panel Cholesky (see sample_hmc)."""
     log_density = _gp_log_density(
-        x, y, log_prior, nugget, analytic_gradients=analytic_gradients
+        x, y, log_prior, nugget, analytic_gradients=analytic_gradients,
+        mesh=mesh, mesh_axis=mesh_axis, panel=panel,
     )
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
@@ -330,7 +344,8 @@ def sample_ehmc(
 
     result, extras = _run_chains(
         run_one, (random.split(k_run, n_chains), inits),
-        sequential=analytic_gradients or x.shape[0] >= 8192,
+        sequential=analytic_gradients or mesh is not None
+        or x.shape[0] >= 8192,
     )
     return _package(
         template, template.bijectors(), unravel, result.samples,

@@ -247,3 +247,35 @@ def test_distributed_optimize_map(rng):
                     log_prior=log_prior)
     np.testing.assert_allclose(float(dist.value), float(local.value),
                                rtol=1e-8)
+
+
+def test_mh_ehmc_over_mesh_match_local(rng):
+    """Round-3: sample_mh/sample_ehmc with mesh= retrace the local chains
+    with identical keys (x64)."""
+    from gpx.distributions import Gamma
+    from gpx.infer.mcmc import sample_ehmc, sample_mh
+
+    mesh = make_mesh(data=8)
+    n = 256
+    x = jnp.asarray(random_locations(rng, n, 1, scale=5.0))
+    truth = Parameters(mean=zero(), kernel=se(2.0, 3.0) + white(0.5))
+    y = gp.draw(jax.random.PRNGKey(11), truth, x, nugget=1e-6)
+
+    def log_prior(p):
+        g = Gamma(2.0, 2.0)
+        return sum(g.logpdf(l) for l in jax.tree_util.tree_leaves(p.kernel))
+
+    kw = dict(n_samples=25, proposal_scale=0.2, n_chains=2, init_jitter=0.05)
+    local = sample_mh(jax.random.PRNGKey(3), x, y, truth, log_prior, **kw)
+    dist = sample_mh(jax.random.PRNGKey(3), x, y, truth, log_prior,
+                     mesh=mesh, panel=32, **kw)
+    np.testing.assert_allclose(np.asarray(dist.flat), np.asarray(local.flat),
+                               rtol=1e-5, atol=1e-7)
+
+    ekw = dict(n_samples=8, l0=4, warmup_iters=20, k=30, l_max=16,
+               n_chains=1, init_jitter=0.0)
+    locale = sample_ehmc(jax.random.PRNGKey(4), x, y, truth, log_prior, **ekw)
+    diste = sample_ehmc(jax.random.PRNGKey(4), x, y, truth, log_prior,
+                        mesh=mesh, panel=32, **ekw)
+    np.testing.assert_allclose(np.asarray(diste.flat),
+                               np.asarray(locale.flat), rtol=1e-5, atol=1e-7)
