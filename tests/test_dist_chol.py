@@ -208,14 +208,14 @@ def test_hmc_nuts_over_mesh_match_local(rng):
         g = Gamma(2.0, 2.0)
         return sum(g.logpdf(l) for l in jax.tree_util.tree_leaves(p.kernel))
 
-    kw = dict(n_samples=15, l=5, eps=0.05, n_chains=2, init_jitter=0.05)
+    kw = dict(n_samples=10, l=4, eps=0.05, n_chains=2, init_jitter=0.05)
     local = sample_hmc(jax.random.PRNGKey(3), x, y, truth, log_prior, **kw)
     dist = sample_hmc(jax.random.PRNGKey(3), x, y, truth, log_prior,
                       mesh=mesh, panel=32, **kw)
     np.testing.assert_allclose(np.asarray(dist.flat), np.asarray(local.flat),
                                rtol=1e-5, atol=1e-7)
 
-    nkw = dict(n_samples=10, eps=0.05, max_depth=5, n_chains=1,
+    nkw = dict(n_samples=6, eps=0.05, max_depth=4, n_chains=1,
                init_jitter=0.0)
     localn = sample_nuts(jax.random.PRNGKey(4), x, y, truth, log_prior, **nkw)
     distn = sample_nuts(jax.random.PRNGKey(4), x, y, truth, log_prior,
@@ -265,14 +265,14 @@ def test_mh_ehmc_over_mesh_match_local(rng):
         g = Gamma(2.0, 2.0)
         return sum(g.logpdf(l) for l in jax.tree_util.tree_leaves(p.kernel))
 
-    kw = dict(n_samples=25, proposal_scale=0.2, n_chains=2, init_jitter=0.05)
+    kw = dict(n_samples=15, proposal_scale=0.2, n_chains=2, init_jitter=0.05)
     local = sample_mh(jax.random.PRNGKey(3), x, y, truth, log_prior, **kw)
     dist = sample_mh(jax.random.PRNGKey(3), x, y, truth, log_prior,
                      mesh=mesh, panel=32, **kw)
     np.testing.assert_allclose(np.asarray(dist.flat), np.asarray(local.flat),
                                rtol=1e-5, atol=1e-7)
 
-    ekw = dict(n_samples=8, l0=4, warmup_iters=20, k=30, l_max=16,
+    ekw = dict(n_samples=5, l0=3, warmup_iters=15, k=20, l_max=8,
                n_chains=1, init_jitter=0.0)
     locale = sample_ehmc(jax.random.PRNGKey(4), x, y, truth, log_prior, **ekw)
     diste = sample_ehmc(jax.random.PRNGKey(4), x, y, truth, log_prior,
