@@ -134,6 +134,8 @@ def train(
     train_inducing: bool = True,
     train_hyper: bool = True,
     train_noise: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
 ):
     """Adam on the minibatch ELBO over (state, hyperparameters, inducing
     locations, optionally the observation noise) as one ``lax.scan``
@@ -142,7 +144,17 @@ def train(
     Returns ``(params, z, state, noise, elbo_trace)``. Hyperparameters are
     optimized through their bijectors (unconstrained space), mirroring the
     samplers (KernelParameters.scala:251-264's constrain/unconstrain);
-    noise trains on the log scale."""
+    noise trains on the log scale.
+
+    ``mesh=`` trains DATA-PARALLEL over ``mesh[mesh_axis]``: ``x``/``y``
+    are row-sharded, each device draws ``batch_size / n_devices`` points
+    from its own shard per step, and the devices' likelihood terms are
+    combined with one ``pmean`` per step (the only communication — the
+    O(M^2)-sized variational state, hyperparameters and optimizer state
+    stay replicated). The combined estimator is exactly as unbiased as
+    the single-device one: each device's ``(N / B_loc) sum_local`` term
+    estimates the full-data likelihood from its shard, and the pmean
+    averages D such estimates. ``batch_size`` is the GLOBAL batch."""
     import optax
 
     from gpx.params import constrain, unconstrain
@@ -166,24 +178,69 @@ def train(
     opt = optax.adam(learning_rate)
     opt_state = opt.init(trainable)
 
-    def loss_fn(tr, kb):
-        p = constrain(bijs, tr.get("params", u_params))
-        zz = tr.get("z", z)
-        s2 = jnp.exp(tr["log_noise"]) if train_noise else noise
-        idx = jax.random.choice(kb, n_total, (batch_size,), replace=False)
-        return -elbo_minibatch(
-            p, zz, tr["state"], x[idx], y[idx], n_total=n_total, noise=s2
-        )
-
-    def step(carry, kb):
-        tr, os = carry
-        loss, grads = jax.value_and_grad(loss_fn)(tr, kb)
-        updates, os = opt.update(grads, os, tr)
-        tr = optax.apply_updates(tr, updates)
-        return (tr, os), -loss
+    def make_step(loss_fn):
+        def step(carry, kb):
+            tr, os = carry
+            loss, grads = jax.value_and_grad(loss_fn)(tr, kb)
+            updates, os = opt.update(grads, os, tr)
+            tr = optax.apply_updates(tr, updates)
+            return (tr, os), -loss
+        return step
 
     keys = jax.random.split(key, steps)
-    (trainable, _), trace = jax.lax.scan(step, (trainable, opt_state), keys)
+
+    if mesh is None:
+        def loss_fn(tr, kb):
+            p = constrain(bijs, tr.get("params", u_params))
+            zz = tr.get("z", z)
+            s2 = jnp.exp(tr["log_noise"]) if train_noise else noise
+            idx = jax.random.choice(kb, n_total, (batch_size,), replace=False)
+            return -elbo_minibatch(
+                p, zz, tr["state"], x[idx], y[idx], n_total=n_total, noise=s2
+            )
+
+        (trainable, _), trace = jax.lax.scan(
+            make_step(loss_fn), (trainable, opt_state), keys
+        )
+    else:
+        from jax import lax
+        from jax.sharding import PartitionSpec as P
+
+        d = mesh.shape[mesh_axis]
+        if n_total % d or batch_size % d:
+            raise ValueError(
+                f"data-parallel SVGP needs n ({n_total}) and batch_size "
+                f"({batch_size}) divisible by the {d}-device mesh axis"
+            )
+        b_loc = batch_size // d
+
+        def body(tr0, os0, x_loc, y_loc, keys):
+            n_loc = x_loc.shape[0]
+
+            def loss_fn(tr, kb):
+                p = constrain(bijs, tr.get("params", u_params))
+                zz = tr.get("z", z)
+                s2 = jnp.exp(tr["log_noise"]) if train_noise else noise
+                kd = jax.random.fold_in(kb, lax.axis_index(mesh_axis))
+                idx = jax.random.choice(kd, n_loc, (b_loc,), replace=False)
+                # per-device unbiased full-likelihood estimate, KL once:
+                # elbo_minibatch returns (N / b_loc) sum_local - KL; pmean
+                # of the likelihood parts + the (replicated) KL recovers
+                # the global-batch estimator exactly
+                e_loc = elbo_minibatch(
+                    p, zz, tr["state"], x_loc[idx], y_loc[idx],
+                    n_total=n_total, noise=s2,
+                )
+                k = kl(tr["state"])
+                return -(lax.pmean(e_loc + k, mesh_axis) - k)
+
+            return jax.lax.scan(make_step(loss_fn), (tr0, os0), keys)
+
+        (trainable, _), trace = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(mesh_axis, None), P(mesh_axis), P()),
+            out_specs=((P(), P()), P()),
+        ))(trainable, opt_state, x, y, keys)
 
     out_params = (
         constrain(bijs, trainable["params"]) if train_hyper else params

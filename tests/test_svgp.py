@@ -135,3 +135,60 @@ def test_train_recovers_fit(rng):
     err = float(jnp.max(jnp.abs(approx.mean - exact.mean)))
     assert err < 0.5 * scale + 0.15
     assert np.all(np.asarray(approx.variance) >= 0.0)
+
+
+def test_data_parallel_elbo_exact_at_full_batch(rng):
+    """mesh= training: with batch = the whole data set, each device's
+    sub-batch is exactly its shard, so the pmean-combined data-parallel
+    ELBO gradient step must reproduce the single-device full-batch step —
+    the estimators coincide identically, not just in expectation."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gpx.parallel import make_mesh
+
+    x, y, p_exact, p_smooth, noise = _setup(rng, n=128)
+    z = x[::16]
+    mesh = make_mesh(data=8)
+
+    kw = dict(noise=noise, steps=5, batch_size=128, learning_rate=1e-2,
+              train_inducing=False, train_hyper=True)
+    p1, z1, s1, _, tr1 = svgp.train(jax.random.PRNGKey(3), p_smooth, z,
+                                    x, y, **kw)
+    p2, z2, s2, _, tr2 = svgp.train(jax.random.PRNGKey(3), p_smooth, z,
+                                    x, y, mesh=mesh, **kw)
+    # full batch on one device samples a permutation of ALL points; each
+    # mesh device samples a permutation of its shard — the summed ELBO and
+    # its gradient are permutation-invariant, so the traces must agree
+    np.testing.assert_allclose(np.asarray(tr2), np.asarray(tr1), rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(s2),
+                    jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7,
+                                   atol=1e-9)
+
+
+def test_data_parallel_train_minibatch_runs(rng):
+    """mesh= minibatch training (the production shape): finite improving
+    trace, predictive parity with a sensible fit."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gpx.parallel import make_mesh
+
+    x, y, p_exact, p_smooth, noise = _setup(rng, n=256)
+    z = x[::16]
+    mesh = make_mesh(data=8)
+    p_t, z_t, s_t, _, trace = svgp.train(
+        jax.random.PRNGKey(4), p_smooth, z, x, y, noise=noise,
+        steps=200, batch_size=64, learning_rate=3e-2, mesh=mesh,
+    )
+    assert bool(jnp.isfinite(jnp.asarray(trace)).all())
+    assert float(trace[-10:].mean()) > float(trace[:10].mean())
+    summ = svgp.fit(p_t, z_t, s_t, x, noise=noise)
+    assert bool(jnp.isfinite(summ.mean).all())
+    # sanity (not convergence — 200 short-batch steps): predictive mean
+    # tracks the data well below its prior scale
+    rmse = float(jnp.sqrt(jnp.mean((summ.mean - y) ** 2)))
+    assert rmse < 3.0 * noise
