@@ -354,6 +354,8 @@ def fit_iterative(
     precond_rank: int = 0,
     variance: str = "exact",
     variance_block: int = 256,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> IterativePosterior:
     """Matrix-free GP posterior at ``xs`` — GPML Alg 2.1 (Predict.fit,
     Predict.scala:57-94) for N beyond the dense paths: K(x, x) never
@@ -366,6 +368,11 @@ def fit_iterative(
       ``K^{-1} K(x, S)`` and ``var = k_ss - diag(K(S, x) K^{-1} K(x, S))``
       — exact up to ``cg_tol`` but M/block extra CG solves; pass
       ``variance="none"`` for the mean-only fit at large M.
+
+    ``mesh=`` shards every Gram matvec's row range over ``mesh[mesh_axis]``
+    (gpx.parallel.distributed_gram_matvec) — the O(N^2)-per-iteration CG
+    cost splits across chips while vectors stay O(N); the matrix-free
+    regime then scales past one chip's FLOPs, not just its memory.
     """
     if variance not in ("exact", "none"):
         raise ValueError(f"unknown variance mode: {variance}")
@@ -373,8 +380,15 @@ def fit_iterative(
     xs = as_locations(xs)
     m = xs.shape[0]
 
-    def matvec(v):
-        return gram_matvec(params.kernel, x, v, nugget=nugget)
+    if mesh is not None:
+        from gpx.parallel.dist_matvec import distributed_gram_matvec
+
+        matvec = distributed_gram_matvec(
+            params.kernel, x, mesh, axis=mesh_axis, nugget=nugget
+        )
+    else:
+        def matvec(v):
+            return gram_matvec(params.kernel, x, v, nugget=nugget)
 
     precond = None
     if precond_rank > 0:
@@ -440,6 +454,8 @@ def logml_value_and_grad_iterative(
     cg_tol: float = 1e-5,
     cg_max_iters: int = 1000,
     precond_rank: int = 0,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> IterativeLogML:
     """Matrix-free logML value + hyperparameter gradient estimate.
 
@@ -448,13 +464,26 @@ def logml_value_and_grad_iterative(
     probes. Memory is O(N (D + probes)). ``precond_rank > 0`` builds a
     pivoted-Cholesky preconditioner for the CG solves (essential when the
     kernel's smooth part dominates the noise floor).
+
+    ``mesh=`` runs every matvec — CG solves, Lanczos/SLQ, and the
+    Hutchinson gradient contractions — with its row range sharded over
+    ``mesh[mesh_axis]`` (gpx.parallel.distributed_gram_matvec); probes,
+    vectors and the preconditioner stay replicated.
     """
     x = as_locations(x)
     n = x.shape[0]
     k_quad, k_slq, k_probe = random.split(key, 3)
 
-    def matvec_with(kern, v):
-        return gram_matvec(kern, x, v, nugget=nugget)
+    if mesh is not None:
+        from gpx.parallel.dist_matvec import distributed_gram_matvec
+
+        def matvec_with(kern, v):
+            return distributed_gram_matvec(
+                kern, x, mesh, axis=mesh_axis, nugget=nugget
+            )(v)
+    else:
+        def matvec_with(kern, v):
+            return gram_matvec(kern, x, v, nugget=nugget)
 
     matvec = partial(matvec_with, params.kernel)
 
@@ -522,13 +551,22 @@ def logml_value_and_grad_iterative(
     # the Pallas forward has no AD rule) — still O(block * N) memory.
     from gpx.ops.pallas_matvec import _gram_matvec_xla
 
+    if mesh is not None:
+        from gpx.parallel.dist_matvec import distributed_gram_matvec
+
+        def _grad_mv(kern, v):
+            return distributed_gram_matvec(
+                kern, x, mesh, axis=mesh_axis, nugget=nugget, method="xla"
+            )(v)
+    else:
+        def _grad_mv(kern, v):
+            return _gram_matvec_xla(kern, x, v, nugget)
+
     def contraction(kern):
-        quad = 0.5 * alpha_s @ _gram_matvec_xla(
-            kern, x, alpha_s[:, None], nugget
-        )[:, 0]
+        quad = 0.5 * alpha_s @ _grad_mv(kern, alpha_s[:, None])[:, 0]
         tr = jnp.mean(
             jnp.sum(
-                probe_solves_s * _gram_matvec_xla(kern, x, probes_s, nugget),
+                probe_solves_s * _grad_mv(kern, probes_s),
                 axis=0,
             )
         )

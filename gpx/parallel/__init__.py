@@ -17,6 +17,7 @@ from gpx.parallel.dist_chol import (
     distributed_logml_value_and_grad,
     distributed_predict,
 )
+from gpx.parallel.dist_matvec import distributed_gram_matvec
 from gpx.parallel.mesh import make_mesh
 from gpx.parallel.sharded import (
     sharded_gram,
@@ -30,6 +31,7 @@ __all__ = [
     "distributed_back_solve",
     "distributed_cholesky",
     "distributed_forward_solve",
+    "distributed_gram_matvec",
     "distributed_half_logdet",
     "distributed_logml",
     "distributed_logml_value_and_grad",

@@ -316,3 +316,51 @@ def test_preconditioned_probes_reduce_gradient_variance(rng):
     assert (v_pcond < 0.7 * v_plain).any(), (v_pcond, v_plain)
     # and overall
     assert v_pcond.sum() < v_plain.sum()
+
+
+def test_distributed_matvec_and_iterative_mesh(rng):
+    """Round-3 distributed matrix-free path: the row-sharded streamed
+    matvec is exact vs the single-device one, and fit_iterative /
+    logml_value_and_grad_iterative with mesh= reproduce the local results
+    (same keys => same probes; CG/SLQ consume the identical operator)."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gpx.parallel import distributed_gram_matvec, make_mesh
+
+    mesh = make_mesh(data=8)
+    n = 256
+    x = jnp.asarray(np.sort(random_locations(rng, n, 1, scale=8.0), axis=0))
+    params = Parameters(mean=zero(), kernel=se(2.0, 3.0) + white(0.5))
+    y = gp.draw(jax.random.PRNGKey(0), params, x, nugget=1e-6)
+
+    v = jnp.asarray(np.asarray(
+        np.random.default_rng(1).normal(size=(n, 3))))
+    from gpx.ops.pallas_matvec import gram_matvec
+    want = gram_matvec(params.kernel, x, v, nugget=1e-3)
+    got = distributed_gram_matvec(params.kernel, x, mesh, nugget=1e-3)(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+
+    from gpx.models import gp_iterative
+
+    xs = jnp.linspace(-8, 8, 32).reshape(-1, 1)
+    local = gp_iterative.fit_iterative(params, x, y, xs, precond_rank=16)
+    dist = gp_iterative.fit_iterative(params, x, y, xs, precond_rank=16,
+                                      mesh=mesh)
+    np.testing.assert_allclose(np.asarray(dist.mean), np.asarray(local.mean),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dist.variance),
+                               np.asarray(local.variance), atol=1e-8)
+
+    key = jax.random.PRNGKey(7)
+    loc = gp_iterative.logml_value_and_grad_iterative(
+        params, x, y, key, n_probes=8, lanczos_iters=16, precond_rank=16)
+    dst = gp_iterative.logml_value_and_grad_iterative(
+        params, x, y, key, n_probes=8, lanczos_iters=16, precond_rank=16,
+        mesh=mesh)
+    np.testing.assert_allclose(float(dst.value), float(loc.value), rtol=1e-8)
+    for a, b in zip(jax.tree_util.tree_leaves(dst.grads),
+                    jax.tree_util.tree_leaves(loc.grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-10)
