@@ -65,6 +65,10 @@ def optimize(
     mesh=None,
     mesh_axis: str = "data",
     panel: int = 128,
+    key=None,
+    n_probes: int = 16,
+    lanczos_iters: int = 32,
+    precond_rank: int = 0,
 ) -> OptimizeResult:
     """Maximize the exact-GP marginal likelihood over hyperparameters.
 
@@ -89,7 +93,19 @@ def optimize(
     collectives (``gpx.parallel.distributed_logml``) — i.e. multi-chip
     type-II MLE for data sets no single chip can factor. ``method`` is
     ignored in that case (AD through shard_map is the distributed
-    analytic path); ``panel`` is the factorization panel width.
+    analytic path) unless it is ``"iterative"``; ``panel`` is the
+    factorization panel width.
+
+    ``method="iterative"`` optimizes the MATRIX-FREE logML estimate
+    (gpx.models.gp_iterative: CG quadratic term, SLQ logdet, Hutchinson
+    gradients with fresh probes per step) — type-II MLE at N beyond any
+    dense factorization, GPyTorch's headline workflow. Requires
+    ``optimizer="adam"`` (the stochastic gradients break a zoom
+    linesearch) and accepts ``key``/``n_probes``/``lanczos_iters``/
+    ``precond_rank``; with ``mesh=`` every matvec row-shards over the
+    mesh (multi-chip matrix-free MLE). ``value``/``values`` are then SLQ
+    estimates and ``converged`` reflects only finiteness + the (noisy)
+    gradient-norm threshold.
     """
     x, y = check_xy(x, y)
     if optimizer not in ("lbfgs", "adam"):
@@ -99,7 +115,22 @@ def optimize(
     u0 = unconstrain(bij, params)
     flat0, unravel = unraveler(u0)
 
-    if mesh is not None:
+    if method == "iterative":
+        if optimizer != "adam":
+            raise ValueError(
+                "method='iterative' has stochastic (SLQ/Hutchinson) "
+                "gradients — use optimizer='adam'; a zoom linesearch "
+                "cannot compare noisy objective values"
+            )
+        loglik = _iterative_loglik_vjp(
+            x, y, nugget=nugget, n_probes=n_probes,
+            lanczos_iters=lanczos_iters, precond_rank=precond_rank,
+            mesh=mesh, mesh_axis=mesh_axis,
+        )
+        step_keys = jax.random.split(
+            key if key is not None else jax.random.PRNGKey(0), steps + 1
+        )
+    elif mesh is not None:
         from gpx.parallel.dist_chol import distributed_logml
 
         def loglik(p):
@@ -114,9 +145,9 @@ def optimize(
     else:
         raise ValueError(f"unknown method: {method!r}")
 
-    def objective(uflat):
+    def objective(uflat, kb=None):
         p = constrain(bij, unravel(uflat))
-        val = loglik(p)
+        val = loglik(p) if kb is None else loglik(p, kb)
         if log_prior is not None:
             val = val + log_prior(p)
         # +inf (not NaN) on failure: zoom linesearch compares against the
@@ -140,26 +171,30 @@ def optimize(
             return (uflat, opt_state), (value, gnorm)
     else:
         opt = optax.adam(learning_rate)
-        value_and_grad = jax.value_and_grad(objective)
 
-        def step(carry, _):
+        def step(carry, kb):
             uflat, opt_state = carry
-            value, grad = value_and_grad(uflat)
+            value, grad = jax.value_and_grad(objective)(uflat, kb)
             gnorm = jnp.linalg.norm(grad)   # raw: NaN/inf must stay visible
             grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
             updates, opt_state = opt.update(grad, opt_state, uflat)
             uflat = optax.apply_updates(uflat, updates)
             return (uflat, opt_state), (value, gnorm)
 
+    iterative = method == "iterative"
+    scan_xs = step_keys[:-1] if iterative else None
+
     def run(uflat):
         (u_final, _), (vals, gnorms) = lax.scan(
-            step, (uflat, opt.init(uflat)), None, length=steps
+            step, (uflat, opt.init(uflat)), scan_xs, length=steps
         )
         # final value AND gradient at the RETURNED iterate (the scan's
         # per-step trace is at pre-update points), inside this same jitted
         # program: an eager objective(u_final) would re-pay a full
         # O(N^3) logML (and, with mesh=, an eager shard_map dispatch)
-        final_value, final_grad = jax.value_and_grad(objective)(u_final)
+        final_value, final_grad = jax.value_and_grad(objective)(
+            u_final, step_keys[-1] if iterative else None
+        )
         return u_final, vals, gnorms, final_value, jnp.linalg.norm(final_grad)
 
     u_final, vals, gnorms, final_obj, final_gnorm = jax.jit(run)(flat0)
@@ -172,3 +207,40 @@ def optimize(
         grad_norm=final_gnorm,
         converged=converged,
     )
+
+
+def _iterative_loglik_vjp(x, y, *, nugget, n_probes, lanczos_iters,
+                          precond_rank, mesh, mesh_axis):
+    """``(params, key) -> logML estimate`` whose reverse-mode gradient is
+    the matrix-free Hutchinson estimate packaged by
+    ``gp_iterative.logml_value_and_grad_iterative`` (CG-exact quadratic
+    term; SLQ logdet; probes drawn from ``key``). The key gets a
+    symbolic-zero cotangent — it parameterizes the ESTIMATOR, not the
+    model."""
+    from jax.dtypes import float0
+    import numpy as np
+
+    from gpx.models.gp_iterative import logml_value_and_grad_iterative
+
+    def _run(p, kb):
+        return logml_value_and_grad_iterative(
+            p, x, y, kb, nugget=nugget, n_probes=n_probes,
+            lanczos_iters=lanczos_iters, precond_rank=precond_rank,
+            mesh=mesh, mesh_axis=mesh_axis,
+        )
+
+    @jax.custom_vjp
+    def f(p, kb):
+        return _run(p, kb).value
+
+    def fwd(p, kb):
+        res = _run(p, kb)
+        return res.value, (res.grads, kb)
+
+    def bwd(residual, ct):
+        grads, kb = residual
+        key_ct = np.zeros(kb.shape, float0)
+        return (jax.tree_util.tree_map(lambda g: g * ct, grads), key_ct)
+
+    f.defvjp(fwd, bwd)
+    return f

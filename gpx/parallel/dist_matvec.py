@@ -32,7 +32,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gpx.kernels import split_noise
-from gpx.ops.distance import as_locations
+from gpx.ops.distance import as_locations, sq_distances
 
 
 def distributed_gram_matvec(kernel, x, mesh: Mesh, *, axis: str = "data",
@@ -50,26 +50,41 @@ def distributed_gram_matvec(kernel, x, mesh: Mesh, *, axis: str = "data",
     smooth, noise_var = split_noise(kernel)
     diag = noise_var + nugget
 
-    def _rows(x_loc, x_rep, v_rep):
-        if smooth is None:
-            my = lax.axis_index(axis)
-            return diag * lax.dynamic_slice_in_dim(
-                v_rep, my * rows_per, rows_per, 0
-            )
-        if method == "xla":
-            from gpx.ops.pallas_matvec import _cross_matvec_xla
+    def _chunked_rows(x_loc, x_rep, v_rep, block=2048):
+        # row-blocked streamed product WITHOUT lax.map: inside a Manual
+        # (shard_map) context nested under lax.scan, lax.map's output
+        # broadcast trips jax 0.9's sharding canonicalization ("Context
+        # mesh (Manual) should match ... (Auto) passed to
+        # broadcast_in_dim") — a static python loop of checkpointed
+        # chunks compiles identically and sidesteps it; memory stays
+        # O(block * N) per device and gradients w.r.t. kernel
+        # hyperparameters recompute each chunk (same remat policy as
+        # gpx.ops.pallas_matvec._gram_matvec_xla)
+        center = lax.stop_gradient(jnp.mean(x_rep, axis=0, keepdims=True))
+        xl = x_loc - center
+        xr = x_rep - center
 
-            # same translation-invariant centering as cross_matvec
-            center = lax.stop_gradient(jnp.mean(x_rep, axis=0, keepdims=True))
-            y_loc = _cross_matvec_xla(
-                smooth, x_loc - center, x_rep - center, v_rep
-            )
-        else:
+        @jax.checkpoint
+        def chunk(kern, xb):
+            r2 = jnp.maximum(sq_distances(xb, xr), 0.0)
+            return kern.evaluate_xx(xb, xr, r2) @ v_rep
+
+        n_loc = x_loc.shape[0]
+        outs = [chunk(smooth, xl[s:s + block])
+                for s in range(0, n_loc, block)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+    def _rows(x_loc, x_rep, v_rep):
+        my = lax.axis_index(axis)
+        v_loc = lax.dynamic_slice_in_dim(v_rep, my * rows_per, rows_per, 0)
+        if smooth is None:
+            return diag * v_loc
+        if method != "xla" and jax.default_backend() == "tpu":
             from gpx.ops.pallas_matvec import cross_matvec
 
             y_loc = cross_matvec(smooth, x_loc, x_rep, v_rep)
-        my = lax.axis_index(axis)
-        v_loc = lax.dynamic_slice_in_dim(v_rep, my * rows_per, rows_per, 0)
+        else:
+            y_loc = _chunked_rows(x_loc, x_rep, v_rep)
         return y_loc + diag * v_loc
 
     # output stays ROW-SHARDED (out_specs P(axis)): downstream vector math

@@ -96,3 +96,45 @@ def test_bad_optimizer_raises(problem):
         optimize(init, x, y, optimizer="sgd")
     with pytest.raises(ValueError):
         optimize(init, x, y, method="magic")
+
+
+def test_iterative_optimize_matches_dense_optimum(rng):
+    """method='iterative': Adam on the matrix-free SLQ logML (fresh
+    Hutchinson probes per step) reaches the dense optimizer's optimum,
+    and mesh= reproduces the single-device run exactly (same keys)."""
+    import pytest
+
+    from gpx.models import gp
+
+    from gpx import Parameters, se, white, zero
+
+    from .util import random_locations
+
+    n = 256
+    x = jnp.asarray(np.sort(random_locations(rng, n, 1, scale=8.0), axis=0))
+    truth = Parameters(mean=zero(), kernel=se(2.0, 3.0) + white(0.5))
+    y = gp.draw(jax.random.PRNGKey(5), truth, x, nugget=1e-6)
+    init = Parameters(mean=zero(), kernel=se(1.0, 1.0) + white(1.0))
+
+    dense = optimize(init, x, y, steps=60, method="autodiff")
+    it = optimize(init, x, y, steps=150, method="iterative",
+                  optimizer="adam", learning_rate=0.05,
+                  key=jax.random.PRNGKey(1), n_probes=8, lanczos_iters=20,
+                  precond_rank=16)
+    exact_at_it = float(gp.log_marginal_likelihood(it.params, x, y))
+    assert exact_at_it > float(dense.value) - 0.5
+
+    if len(jax.devices()) >= 8:
+        from gpx.parallel import make_mesh
+
+        itm = optimize(init, x, y, steps=150, method="iterative",
+                       optimizer="adam", learning_rate=0.05,
+                       key=jax.random.PRNGKey(1), n_probes=8,
+                       lanczos_iters=20, precond_rank=16,
+                       mesh=make_mesh(data=8))
+        np.testing.assert_allclose(
+            float(gp.log_marginal_likelihood(itm.params, x, y)),
+            exact_at_it, rtol=1e-8)
+
+    with pytest.raises(ValueError):
+        optimize(init, x, y, method="iterative", optimizer="lbfgs")
