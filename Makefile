@@ -46,6 +46,16 @@ test-tpu:
 bench:
 	python bench.py
 
+# chip microbenchmarks behind the PERF.md tables (long compiles; background)
+bench-roofline:
+	python benchmarks/roofline.py
+
+bench-samplers:
+	python benchmarks/sampler_scale.py --sampler hmc --n 4096 --l 5
+	python benchmarks/sampler_scale.py --sampler hmc --n 16384 --l 3 --n-samples 6
+	python benchmarks/sampler_scale.py --sampler nuts --n 4096
+	python benchmarks/sampler_scale.py --sampler nuts --n 16384 --n-samples 6 --eps 0.01
+
 .PHONY: simulated hmc_simulated posterior_predictive fit_temp_gp \
 	krig_temperature fit_temp_dlm forecast_temperature_dlm fit_dlm_gp \
-	mnist large_n test test-tpu bench
+	mnist large_n test test-tpu bench bench-roofline bench-samplers

@@ -1,0 +1,137 @@
+"""Sampler-at-scale benchmark: analytic-gradient HMC/NUTS on the real chip.
+
+Reproduces the "Sampler at scale" table in PERF.md — the production
+composition ``jit(scan(kernel))`` over the custom-vjp fused analytic
+gradient (the path the reference cannot reach: its samplers rebuild the
+Gram and refactor with Breeze/LAPACK per proposal on one JVM core,
+KernelParameters.scala:121-154 / Mcmc.scala:63-76).
+
+Method: ``eps`` is FIXED so the dual-averaging warmup is skipped and the
+timed call is pure sampling. Two consumed warm calls precede the timed
+call (axon dispatch pathology otherwise dominates — see CLAUDE.md), and
+the result is force-consumed with ``float(jnp.sum(...))``.
+
+Usage (run in background on chip; compiles are minutes at N=16k):
+    python benchmarks/sampler_scale.py --sampler hmc  --n 4096  --l 5
+    python benchmarks/sampler_scale.py --sampler hmc  --n 16384 --l 3
+    python benchmarks/sampler_scale.py --sampler nuts --n 4096
+    python benchmarks/sampler_scale.py --sampler nuts --n 16384
+
+Prints one JSON line: ms/sample, ms/leapfrog-grad, samples/s, mean depth.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+if "--cpu" in sys.argv:
+    # config route, NOT the JAX_PLATFORMS env var: with the axon plugin
+    # registered by sitecustomize, the env-var route still probes the
+    # tunnel on device discovery and blocks ~25 min when it is down.
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+import gpx
+from gpx.distributions import Gamma
+from gpx.infer.mcmc import sample_hmc, sample_nuts
+
+
+def log_prior(p: gpx.Parameters):
+    pr = Gamma(concentration=jnp.asarray(2.0), rate=jnp.asarray(0.5))
+    k0, k1 = p.kernel.kernels
+    return pr.logpdf(k0.h) + pr.logpdf(k0.sigma) + pr.logpdf(k1.sigma)
+
+
+def make_data(n: int):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jnp.sort(jax.random.uniform(k1, (n,), minval=-10.0, maxval=10.0))
+    # cheap synthetic signal — sampler throughput depends on N, not on y
+    y = (
+        3.0 * jnp.sin(0.7 * x)
+        + 0.5 * jax.random.normal(k2, (n,))
+    )
+    return x.reshape(-1, 1), y
+
+
+def run(args):
+    x, y = make_data(args.n)
+    template = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.se(2.0, 2.0) + gpx.white(1.0)
+    )
+    common = dict(
+        n_samples=args.n_samples,
+        eps=args.eps,
+        n_chains=1,
+        analytic_gradients=True,
+    )
+    if args.sampler == "hmc":
+        sample = lambda key: sample_hmc(  # noqa: E731
+            key, x, y, template, log_prior, l=args.l, **common
+        )
+    else:
+        sample = lambda key: sample_nuts(  # noqa: E731
+            key, x, y, template, log_prior, max_depth=args.max_depth,
+            **common
+        )
+
+    def consumed(key):
+        t0 = time.perf_counter()
+        post = sample(key)
+        float(jnp.sum(post.flat))  # force full materialization
+        return time.perf_counter() - t0, post
+
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed), 3)
+    wall_compile, _ = consumed(k0)
+    wall_warm, _ = consumed(k1)          # second consumed warm call
+    wall, post = consumed(k2)
+
+    ms_per_sample = wall / args.n_samples * 1e3
+    if args.sampler == "hmc":
+        grads_per_sample = float(args.l)
+        mean_depth = None
+    else:
+        depth = np.asarray(post.extras["depth"], dtype=np.float64)
+        mean_depth = float(depth.mean())
+        # a depth-d multinomial tree evaluates 2^d - 1 new leapfrog states
+        grads_per_sample = float(np.mean(2.0 ** depth - 1.0))
+    out = {
+        "sampler": args.sampler,
+        "n": args.n,
+        "n_samples": args.n_samples,
+        "eps": args.eps,
+        "accept_rate": float(np.asarray(post.accept_rate).mean()),
+        "mean_depth": mean_depth,
+        "grads_per_sample": grads_per_sample,
+        "ms_per_sample": round(ms_per_sample, 2),
+        "ms_per_leapfrog_grad": round(ms_per_sample / grads_per_sample, 2),
+        "samples_per_s": round(1e3 / ms_per_sample, 3),
+        "wall_compile_s": round(wall_compile, 1),
+        "wall_warm_s": round(wall_warm, 1),
+        "wall_timed_s": round(wall, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sampler", choices=["hmc", "nuts"], required=True)
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--n-samples", type=int, default=8)
+    ap.add_argument("--l", type=int, default=5, help="HMC leapfrog steps")
+    ap.add_argument("--max-depth", type=int, default=6)
+    ap.add_argument(
+        "--eps", type=float, default=0.02,
+        help="fixed step size (skips warmup; pick from a short adaptive "
+        "run at the same N for realistic NUTS depths)",
+    )
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (smoke-testing the harness off-chip)",
+    )
+    run(ap.parse_args())
