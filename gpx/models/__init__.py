@@ -1,4 +1,5 @@
-"""Model families: GP regression, GP classification, DLM / DLM-GP."""
+"""Model families: GP regression, GP classification, DLM / DLM-GP,
+multi-output (ICM) GPs."""
 
 from gpx.models import (
     classify,
@@ -6,12 +7,13 @@ from gpx.models import (
     dlmgp,
     gp,
     gp_iterative,
+    multioutput,
     optimize,
     sparse,
     svgp,
 )
 
 __all__ = [
-    "classify", "dlm", "dlmgp", "gp", "gp_iterative", "optimize", "sparse",
-    "svgp",
+    "classify", "dlm", "dlmgp", "gp", "gp_iterative", "multioutput",
+    "optimize", "sparse", "svgp",
 ]

@@ -1,0 +1,191 @@
+"""ICM multi-output GP: Kronecker fast path vs dense ground truth.
+
+The dense (NT) construction is the oracle: every Kronecker-path quantity
+(logML, posterior mean/variance, draw covariance) must match it; the T=1
+case must reduce to the single-output model exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpx
+from gpx.models import gp, multioutput as mo
+
+
+def _params(t=3, rank=2, noise=0.05):
+    w = jnp.asarray(np.random.default_rng(7).normal(size=(t, rank)) * 0.6)
+    return mo.IcmParams(
+        kernel=gpx.se(1.3, 0.9),
+        w=w,
+        kappa=jnp.asarray(np.full(t, 0.3)),
+        noise=jnp.asarray(noise),
+    )
+
+
+def _data(n=24, t=3, d=1, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(-3.0, 3.0, size=(n, d)))
+    y = jnp.asarray(rng.normal(size=(n, t)))
+    return x, y
+
+
+def test_gram_full_is_spd_and_kron_ordered():
+    p = _params()
+    x, _ = _data()
+    kfull = mo.gram_full(p, x, nugget=1e-8)
+    n = x.shape[0]
+    np.testing.assert_allclose(kfull, kfull.T, rtol=0, atol=1e-12)
+    assert np.linalg.eigvalsh(np.asarray(kfull)).min() > 0
+    # block (i, j) must be B[i, j] * Kxx (+ noise on i == j diagals)
+    b = mo.coregion_matrix(p)
+    kxx = p.kernel.gram(x)
+    blk = kfull[:n, n : 2 * n]
+    np.testing.assert_allclose(blk, b[0, 1] * kxx, rtol=1e-12)
+
+
+def test_logml_kron_matches_dense():
+    p = _params()
+    x, y = _data()
+    lk = mo.log_marginal_likelihood(p, x, y, method="kron")
+    ld = mo.log_marginal_likelihood(p, x, y, method="dense")
+    np.testing.assert_allclose(float(lk), float(ld), rtol=1e-9)
+
+
+def test_logml_t1_reduces_to_single_output():
+    # T=1: B = w^2 + kappa is a scalar amplitude; fold it into the SE h and
+    # the noise into a White component — must equal the single-output logML
+    w0, kap, noise = 0.8, 0.3, 0.05
+    p = mo.IcmParams(
+        kernel=gpx.se(1.3, 0.9),
+        w=jnp.asarray([[w0]]),
+        kappa=jnp.asarray([kap]),
+        noise=jnp.asarray(noise),
+    )
+    x, y = _data(t=1)
+    b = w0 * w0 + kap
+    single = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.se(1.3 * b, 0.9) + gpx.white(noise)
+    )
+    got = mo.log_marginal_likelihood(p, x, y, nugget=1e-8)
+    want = gp.log_marginal_likelihood(single, x, y[:, 0], nugget=1e-8)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-8)
+
+
+def test_logml_rejects_kron_with_per_output_noise():
+    p = _params()
+    p = mo.IcmParams(kernel=p.kernel, w=p.w, kappa=p.kappa,
+                     noise=jnp.asarray([0.05, 0.1, 0.2]))
+    x, y = _data()
+    with pytest.raises(ValueError, match="shared"):
+        mo.log_marginal_likelihood(p, x, y, method="kron")
+    # auto routes to dense and works
+    assert np.isfinite(float(mo.log_marginal_likelihood(p, x, y)))
+
+
+def test_fit_kron_matches_dense():
+    p = _params()
+    x, y = _data()
+    xs = jnp.linspace(-3.0, 3.0, 9)[:, None]
+    sk = mo.fit(p, x, y, xs, method="kron", nugget=1e-8)
+    sd = mo.fit(p, x, y, xs, method="dense", nugget=1e-8)
+    np.testing.assert_allclose(sk.mean, sd.mean, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(sk.variance, sd.variance, rtol=1e-6,
+                               atol=1e-9)
+    assert sk.mean.shape == (9, 3)
+    assert (np.asarray(sk.variance) > 0).all()
+
+
+def test_fit_interpolates_and_couples_outputs():
+    # strong coupling: observing output 0 must move output 1's posterior
+    t = 2
+    p = mo.IcmParams(
+        kernel=gpx.se(1.0, 1.0),
+        w=jnp.asarray([[1.0], [0.95]]),
+        kappa=jnp.asarray([1e-3, 1e-3]),
+        noise=jnp.asarray(1e-4),
+    )
+    x = jnp.linspace(-2.0, 2.0, 12)[:, None]
+    f = jnp.sin(1.7 * x[:, 0])
+    y = jnp.stack([f, 0.95 * f], axis=1)
+    s = mo.fit(p, x, y, x, nugget=1e-8)
+    np.testing.assert_allclose(s.mean[:, 0], f, atol=5e-3)
+    np.testing.assert_allclose(s.mean[:, 1], 0.95 * f, atol=5e-3)
+    # posterior variance at training points far below prior (1 + 1e-3)
+    assert float(s.variance.max()) < 0.1
+
+
+def test_draw_covariance_matches_kronecker():
+    # empirical second moment of many draws ~ B ⊗ K + D ⊗ I
+    p = _params(t=2, rank=1, noise=0.02)
+    x, _ = _data(n=6, t=2)
+    m = 40_000
+    keys = jax.random.split(jax.random.PRNGKey(3), m)
+    draws = jax.vmap(lambda k: mo.draw(k, p, x, nugget=1e-8))(keys)
+    v = np.asarray(draws).transpose(0, 2, 1).reshape(m, -1)  # output-major
+    emp = v.T @ v / m
+    want = np.asarray(mo.gram_full(p, x, nugget=1e-8))
+    np.testing.assert_allclose(emp, want, atol=6e-2)
+
+
+def test_logml_gradients_finite_and_match_fd():
+    p = _params()
+    x, y = _data()
+
+    def f(p_):
+        return mo.log_marginal_likelihood(p_, x, y, method="kron")
+
+    grads = jax.grad(f)(p)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    # finite-difference check on the noise parameter (x64 CPU lane)
+    eps = 1e-6
+    p_hi = mo.IcmParams(kernel=p.kernel, w=p.w, kappa=p.kappa,
+                        noise=p.noise + eps)
+    p_lo = mo.IcmParams(kernel=p.kernel, w=p.w, kappa=p.kappa,
+                        noise=p.noise - eps)
+    fd = (float(f(p_hi)) - float(f(p_lo))) / (2 * eps)
+    np.testing.assert_allclose(float(grads.noise), fd, rtol=1e-4)
+
+
+def test_sample_mh_recovers_coupling():
+    # simulate strongly coupled outputs; posterior over the coupling W must
+    # concentrate away from zero and the chain must be healthy
+    truth = mo.IcmParams(
+        kernel=gpx.se(1.0, 1.2),
+        w=jnp.asarray([[1.0], [0.9]]),
+        kappa=jnp.asarray([0.05, 0.05]),
+        noise=jnp.asarray(0.05),
+    )
+    x = jnp.linspace(-3.0, 3.0, 40)[:, None]
+    y = mo.draw(jax.random.PRNGKey(0), truth, x)
+
+    template = mo.icm(gpx.se(1.5, 1.0), n_outputs=2, rank=1,
+                      kappa=0.2, noise=0.1)
+
+    def log_prior(p):
+        from gpx.distributions import Gamma, Normal
+
+        g = Gamma(concentration=jnp.asarray(2.0), rate=jnp.asarray(2.0))
+        nw = Normal(loc=jnp.asarray(0.0), scale=jnp.asarray(2.0))
+        return (
+            g.logpdf(p.kernel.h) + g.logpdf(p.kernel.sigma)
+            + jnp.sum(nw.logpdf(p.w)) + jnp.sum(g.logpdf(p.kappa))
+            + g.logpdf(p.noise)
+        )
+
+    post = mo.sample_mh(
+        jax.random.PRNGKey(1), x, y, template, log_prior,
+        n_samples=400, burn_in=200, n_chains=2, proposal_scale=0.08,
+    )
+    assert post.flat.shape[0] == 2
+    assert np.isfinite(np.asarray(post.flat)).all()
+    assert (np.asarray(post.accept_rate) > 0.05).all()
+    names = post.names
+    w0 = np.asarray(post.flat)[..., names.index("w_0")]
+    w1 = np.asarray(post.flat)[..., names.index("w_1")]
+    # coupling is identified up to a joint sign flip
+    corr = np.sign(np.median(w0)) * np.sign(np.median(w1))
+    assert corr > 0
+    assert abs(np.median(np.abs(w0))) > 0.3
