@@ -316,6 +316,40 @@ def fit(p: IcmParams, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
     return MultiOutputSummary(x=xs, mean=mean, variance=variance)
 
 
+def optimize(
+    template: IcmParams,
+    x,
+    Y,
+    *,
+    nugget: float = gp.LOGML_NUGGET,
+    log_prior: Callable[[IcmParams], jnp.ndarray] | None = None,
+    method: str = "auto",
+    steps: int = 100,
+    optimizer: str = "lbfgs",
+    learning_rate: float = 0.05,
+    grad_tol: float = 1e-3,
+    history_size: int = 10,
+):
+    """Type-II MLE / MAP over all ICM hyperparameters — the multi-output
+    counterpart of :func:`gpx.models.optimize.optimize`, via the generic
+    ``optimize_log_density`` core. The default (kron) objective
+    differentiates through ``eigh``: if a fit drives B toward a degenerate
+    spectrum (NaN gradient), pass ``method="dense"``."""
+    from gpx.models.optimize import optimize_log_density
+
+    x, Y = _check_xy(x, Y, template)
+
+    def log_density(p):
+        val = log_marginal_likelihood(p, x, Y, nugget=nugget, method=method)
+        return val if log_prior is None else val + log_prior(p)
+
+    return optimize_log_density(
+        template, log_density, steps=steps, optimizer=optimizer,
+        learning_rate=learning_rate, grad_tol=grad_tol,
+        history_size=history_size,
+    )
+
+
 def sample_mh(
     key,
     x,

@@ -154,6 +154,57 @@ def optimize(
         # current value and shrinks the step; NaN fails every comparison
         return jnp.where(jnp.isfinite(val), -val, jnp.inf)
 
+    return _run_flat_opt(
+        objective, flat0, bij, unravel,
+        optimizer=optimizer, steps=steps, learning_rate=learning_rate,
+        history_size=history_size, grad_tol=grad_tol,
+        step_keys=step_keys if method == "iterative" else None,
+    )
+
+
+def optimize_log_density(
+    template,
+    log_density: Callable,
+    *,
+    steps: int = 100,
+    optimizer: str = "lbfgs",
+    learning_rate: float = 0.05,
+    grad_tol: float = 1e-3,
+    history_size: int = 10,
+) -> OptimizeResult:
+    """Maximize an arbitrary log density over any gpx parameter pytree.
+
+    The generic core of :func:`optimize`: ``template`` is any pytree with
+    a ``bijectors()`` method (``gpx.Parameters``, ``IcmParams``, a custom
+    model's container) and ``log_density`` maps the constrained pytree to
+    a scalar. The search runs in unconstrained bijector space as one
+    compiled ``lax.scan`` of L-BFGS (zoom linesearch) or Adam steps —
+    the deterministic counterpart to handing the same ``(template,
+    log_density)`` pair to the samplers via
+    ``mh.make_unconstrained_log_posterior``."""
+    if optimizer not in ("lbfgs", "adam"):
+        raise ValueError(f"unknown optimizer: {optimizer!r}")
+    bij = template.bijectors()
+    u0 = unconstrain(bij, template)
+    flat0, unravel = unraveler(u0)
+
+    def objective(uflat, kb=None):
+        val = log_density(constrain(bij, unravel(uflat)))
+        return jnp.where(jnp.isfinite(val), -val, jnp.inf)
+
+    return _run_flat_opt(
+        objective, flat0, bij, unravel,
+        optimizer=optimizer, steps=steps, learning_rate=learning_rate,
+        history_size=history_size, grad_tol=grad_tol, step_keys=None,
+    )
+
+
+def _run_flat_opt(objective, flat0, bij, unravel, *, optimizer, steps,
+                  learning_rate, history_size, grad_tol, step_keys):
+    """Shared optimizer loop: one jitted ``lax.scan`` over L-BFGS/Adam
+    steps on a flat unconstrained vector. ``step_keys`` (len steps+1)
+    threads per-step PRNG keys into the objective for stochastic
+    (SLQ/Hutchinson) estimates; None for deterministic objectives."""
     if optimizer == "lbfgs":
         opt = optax.lbfgs(memory_size=history_size)
         value_and_grad = optax.value_and_grad_from_state(objective)
@@ -181,8 +232,7 @@ def optimize(
             uflat = optax.apply_updates(uflat, updates)
             return (uflat, opt_state), (value, gnorm)
 
-    iterative = method == "iterative"
-    scan_xs = step_keys[:-1] if iterative else None
+    scan_xs = step_keys[:-1] if step_keys is not None else None
 
     def run(uflat):
         (u_final, _), (vals, gnorms) = lax.scan(
@@ -193,7 +243,7 @@ def optimize(
         # program: an eager objective(u_final) would re-pay a full
         # O(N^3) logML (and, with mesh=, an eager shard_map dispatch)
         final_value, final_grad = jax.value_and_grad(objective)(
-            u_final, step_keys[-1] if iterative else None
+            u_final, step_keys[-1] if step_keys is not None else None
         )
         return u_final, vals, gnorms, final_value, jnp.linalg.norm(final_grad)
 

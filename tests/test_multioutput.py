@@ -189,3 +189,24 @@ def test_sample_mh_recovers_coupling():
     corr = np.sign(np.median(w0)) * np.sign(np.median(w1))
     assert corr > 0
     assert abs(np.median(np.abs(w0))) > 0.3
+
+
+def test_optimize_improves_and_recovers_noise():
+    truth = mo.IcmParams(
+        kernel=gpx.se(1.0, 1.2),
+        w=jnp.asarray([[1.0], [0.85]]),
+        kappa=jnp.asarray([0.05, 0.05]),
+        noise=jnp.asarray(0.05),
+    )
+    x = jnp.linspace(-3.0, 3.0, 50)[:, None]
+    y = mo.draw(jax.random.PRNGKey(4), truth, x)
+    template = mo.icm(gpx.se(1.5, 1.0), n_outputs=2, rank=1,
+                      kappa=0.2, noise=0.3)
+    res = mo.optimize(template, x, y, steps=60)
+    # objective improved over the starting point and ended finite
+    first = float(res.values[0])
+    assert np.isfinite(float(res.value))
+    assert float(res.value) > first
+    # noise is the best-identified parameter; factor-2.5 at N=50
+    fitted = float(res.params.noise)
+    assert 0.02 < fitted < 0.125, fitted
