@@ -28,6 +28,9 @@ forecast_temperature_dlm:
 fit_dlm_gp:
 	python examples/dlm_gp.py $(N_ITERS)
 
+icm_temperature:
+	python examples/temperature_icm.py $(N_ITERS)
+
 mnist:
 	python examples/mnist_classify.py
 
@@ -58,4 +61,5 @@ bench-samplers:
 
 .PHONY: simulated hmc_simulated posterior_predictive fit_temp_gp \
 	krig_temperature fit_temp_dlm forecast_temperature_dlm fit_dlm_gp \
-	mnist large_n test test-tpu bench bench-roofline bench-samplers
+	icm_temperature mnist large_n test test-tpu bench bench-roofline \
+	bench-samplers
