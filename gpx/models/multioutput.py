@@ -162,9 +162,25 @@ def _kron_eig(p: IcmParams, x, nugget):
     return qk, lam_k, qb, lam_b, s
 
 
+def _obs_index(mask, n, t):
+    """Flat output-major indices of the observed entries of an (N, T)
+    boolean mask. The mask must be CONCRETE (a numpy/bool array, not a
+    traced value): the observed count sets array shapes, and XLA programs
+    are static-shaped — re-jitting per missingness pattern is the correct
+    TPU semantics, exactly like the samplers re-tracing per data size."""
+    import numpy as np
+
+    mask = np.asarray(mask)
+    if mask.shape != (n, t):
+        raise ValueError(f"mask must be (N, T) = {(n, t)}; got {mask.shape}")
+    if mask.dtype != np.bool_:
+        raise ValueError("mask must be boolean (True = observed)")
+    return jnp.asarray(np.flatnonzero(mask.T.reshape(-1)))
+
+
 def log_marginal_likelihood(
     p: IcmParams, x, Y, *, nugget: float = gp.LOGML_NUGGET,
-    method: str = "auto",
+    method: str = "auto", mask=None,
 ) -> jnp.ndarray:
     """Multi-output marginal log-likelihood ``log N(vec Y | 0, B⊗K + D⊗I)``
     (zero prior mean across outputs; center ``Y`` for anything else).
@@ -179,10 +195,19 @@ def log_marginal_likelihood(
     undefined at repeated eigenvalues (of B or of K); generic data and a
     staggered W (see :func:`icm`) keep spectra simple, but gradient-based
     fits that hit degeneracy should switch to ``method="dense"`` — the
-    Cholesky VJP has no such restriction."""
+    Cholesky VJP has no such restriction.
+
+    ``mask`` (N, T) boolean, True = observed: incomplete grids (sensors
+    down, staggered deployments — the reference's held-out-sensor setting,
+    TemperatureDlm.scala:361-402) marginalize exactly by selecting the
+    observed sub-block; irregular structure breaks the Kronecker
+    diagonalization, so a mask forces the dense path. Masked-out entries
+    of ``Y`` are ignored (safe to hold NaN placeholders)."""
     x, Y = _check_xy(x, Y, p)
     n, t = Y.shape
-    if method == "auto":
+    if mask is not None:
+        method = "dense"
+    elif method == "auto":
         method = "kron" if _is_shared_noise(p) else "dense"
     if method == "kron":
         if not _is_shared_noise(p):
@@ -200,12 +225,17 @@ def log_marginal_likelihood(
     if method != "dense":
         raise ValueError(f"unknown method: {method!r}")
     kfull = gram_full(p, x, nugget=nugget)
+    v = Y.T.reshape(-1)
+    if mask is not None:
+        ix = _obs_index(mask, n, t)
+        kfull = kfull[jnp.ix_(ix, ix)]
+        v = jnp.where(jnp.isfinite(v), v, 0.0)[ix]
     l = chol.cholesky(kfull)
-    u = chol.forward_solve(l, Y.T.reshape(-1))
+    u = chol.forward_solve(l, v)
     return (
         -0.5 * jnp.dot(u, u)
         - jnp.sum(jnp.log(jnp.diagonal(l)))
-        - 0.5 * n * t * jnp.log(2.0 * jnp.pi)
+        - 0.5 * v.shape[0] * jnp.log(2.0 * jnp.pi)
     )
 
 
@@ -252,7 +282,7 @@ class MultiOutputSummary(NamedTuple):
 
 
 def fit(p: IcmParams, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
-        method: str = "auto") -> MultiOutputSummary:
+        method: str = "auto", mask=None) -> MultiOutputSummary:
     """Posterior mean/variance of every output at test locations ``xs`` —
     GPML Alg 2.1 lifted through the Kronecker structure (the multi-output
     extension of Predict.fit, Predict.scala:57-94).
@@ -263,10 +293,18 @@ def fit(p: IcmParams, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
     ``Σₙₐ (Qkᵀ k*ₛ)ₙ² (Qbᵀ Bᵢ)ₐ² / Sₙₐ`` — three (M,N)/(N,T)/(T,T)
     matmuls, MXU end to end. Returned variance includes the observation
     noise (the reference's predict adds its White component the same way,
-    KernelFunction.scala:33-35)."""
+    KernelFunction.scala:33-35).
+
+    ``mask`` (N, T) boolean, True = observed: condition on an incomplete
+    grid (dense path; see :func:`log_marginal_likelihood`) — the coupled
+    outputs then fill a downed sensor in from its neighbours through B,
+    the ICM version of the reference's held-out-sensor forecast
+    (TemperatureDlm.scala:361-402)."""
     x, Y = _check_xy(x, Y, p)
     xs = as_locations(xs)
-    if method == "auto":
+    if mask is not None:
+        method = "dense"
+    elif method == "auto":
         method = "kron" if _is_shared_noise(p) else "dense"
     b = coregion_matrix(p)
     kxs = p.kernel.gram(x, xs)                      # (N, M)
@@ -294,21 +332,23 @@ def fit(p: IcmParams, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
         )                                           # (M, T)
     elif method == "dense":
         n, t = Y.shape
+        m = kxs.shape[1]
         kfull = gram_full(p, x, nugget=nugget)
-        l = chol.cholesky(kfull)
-        u = chol.forward_solve(l, Y.T.reshape(-1))
-        alpha_flat = chol.back_solve(l.T, u)
-        alpha = alpha_flat.reshape(t, n).T          # (N, T)
-        mean = jnp.matmul(
-            jnp.matmul(kxs.T, alpha, precision=HI), b, precision=HI
-        )
+        yv = Y.T.reshape(-1)
         # cross block for (output i, test s) is B[:, i] ⊗ kxs[:, s]
         # (NT,) per column; solve all MT columns in one batched trsm
-        cross = jnp.einsum("ji,nm->jnim", b, kxs).reshape(
-            t * n, t * kxs.shape[1]
-        )
-        v = chol.forward_solve(l, cross)            # (NT, MT)
-        red = jnp.sum(v * v, axis=0).reshape(t, kxs.shape[1]).T
+        cross = jnp.einsum("ji,nm->jnim", b, kxs).reshape(t * n, t * m)
+        if mask is not None:
+            ix = _obs_index(mask, n, t)
+            kfull = kfull[jnp.ix_(ix, ix)]
+            yv = jnp.where(jnp.isfinite(yv), yv, 0.0)[ix]
+            cross = cross[ix]
+        l = chol.cholesky(kfull)
+        u = chol.forward_solve(l, yv)
+        alpha = chol.back_solve(l.T, u)             # (obs,)
+        mean = jnp.matmul(cross.T, alpha, precision=HI).reshape(t, m).T
+        v = chol.forward_solve(l, cross)            # (obs, MT)
+        red = jnp.sum(v * v, axis=0).reshape(t, m).T
     else:
         raise ValueError(f"unknown method: {method!r}")
 
@@ -324,6 +364,7 @@ def optimize(
     nugget: float = gp.LOGML_NUGGET,
     log_prior: Callable[[IcmParams], jnp.ndarray] | None = None,
     method: str = "auto",
+    mask=None,
     steps: int = 100,
     optimizer: str = "lbfgs",
     learning_rate: float = 0.05,
@@ -334,13 +375,15 @@ def optimize(
     counterpart of :func:`gpx.models.optimize.optimize`, via the generic
     ``optimize_log_density`` core. The default (kron) objective
     differentiates through ``eigh``: if a fit drives B toward a degenerate
-    spectrum (NaN gradient), pass ``method="dense"``."""
+    spectrum (NaN gradient), pass ``method="dense"``. ``mask`` fits to an
+    incomplete grid (dense likelihood)."""
     from gpx.models.optimize import optimize_log_density
 
     x, Y = _check_xy(x, Y, template)
 
     def log_density(p):
-        val = log_marginal_likelihood(p, x, Y, nugget=nugget, method=method)
+        val = log_marginal_likelihood(p, x, Y, nugget=nugget, method=method,
+                                      mask=mask)
         return val if log_prior is None else val + log_prior(p)
 
     return optimize_log_density(
@@ -365,18 +408,20 @@ def sample_mh(
     nugget: float = gp.LOGML_NUGGET,
     init_jitter: float = 0.1,
     method: str = "auto",
+    mask=None,
 ):
     """Random-walk MH over all ICM hyperparameters (base kernel, W, κ,
     noise) — the KernelParameters.sample composition
     (KernelParameters.scala:231-246) lifted to the multi-output likelihood;
-    returns the same PosteriorSamples the single-output samplers do."""
+    returns the same PosteriorSamples the single-output samplers do.
+    ``mask`` samples against an incomplete grid (dense likelihood)."""
     from gpx.infer import base, mcmc, mh
 
     x, Y = _check_xy(x, Y, template)
 
     def log_density(p):
         return log_prior(p) + log_marginal_likelihood(
-            p, x, Y, nugget=nugget, method=method
+            p, x, Y, nugget=nugget, method=method, mask=mask
         )
 
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(

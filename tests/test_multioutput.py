@@ -210,3 +210,61 @@ def test_optimize_improves_and_recovers_noise():
     # noise is the best-identified parameter; factor-2.5 at N=50
     fitted = float(res.params.noise)
     assert 0.02 < fitted < 0.125, fitted
+
+
+def test_mask_all_true_matches_unmasked():
+    p = _params()
+    x, y = _data()
+    full = np.ones(y.shape, dtype=bool)
+    got = mo.log_marginal_likelihood(p, x, y, method="dense", mask=full)
+    want = mo.log_marginal_likelihood(p, x, y, method="dense")
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-12)
+    sm = mo.fit(p, x, y, x[:5], mask=full, nugget=1e-8)
+    sd = mo.fit(p, x, y, x[:5], method="dense", nugget=1e-8)
+    np.testing.assert_allclose(sm.mean, sd.mean, rtol=1e-10)
+    np.testing.assert_allclose(sm.variance, sd.variance, rtol=1e-10)
+
+
+def test_mask_logml_matches_manual_subblock():
+    # oracle: build the observed sub-system by hand from gram_full
+    p = _params(t=2, rank=1)
+    x, y = _data(n=10, t=2)
+    mask = np.ones((10, 2), dtype=bool)
+    mask[6:, 1] = False               # sensor 1 down for the last 4 points
+    got = mo.log_marginal_likelihood(p, x, y, mask=mask, nugget=1e-8)
+    kfull = np.asarray(mo.gram_full(p, x, nugget=1e-8))
+    v = np.asarray(y).T.reshape(-1)
+    ix = np.flatnonzero(mask.T.reshape(-1))
+    ko = kfull[np.ix_(ix, ix)]
+    vo = v[ix]
+    sign, logdet = np.linalg.slogdet(ko)
+    want = -0.5 * (vo @ np.linalg.solve(ko, vo) + logdet
+                   + ix.size * np.log(2 * np.pi))
+    np.testing.assert_allclose(float(got), want, rtol=1e-9)
+    # NaN placeholders in the masked-out entries must not leak
+    y_nan = np.asarray(y).copy()
+    y_nan[6:, 1] = np.nan
+    got_nan = mo.log_marginal_likelihood(p, x, jnp.asarray(y_nan),
+                                         mask=mask, nugget=1e-8)
+    np.testing.assert_allclose(float(got_nan), want, rtol=1e-9)
+
+
+def test_mask_fit_imputes_downed_sensor_from_neighbours():
+    # strong coupling: with sensor 1 down over a window, its posterior there
+    # must track sensor 0's signal and beat the prior uncertainty
+    p = mo.IcmParams(
+        kernel=gpx.se(1.0, 1.0),
+        w=jnp.asarray([[1.0], [0.9]]),
+        kappa=jnp.asarray([1e-3, 1e-3]),
+        noise=jnp.asarray(1e-4),
+    )
+    x = jnp.linspace(-2.0, 2.0, 16)[:, None]
+    f = jnp.sin(1.6 * x[:, 0])
+    y = jnp.stack([f, 0.9 * f], axis=1)
+    mask = np.ones((16, 2), dtype=bool)
+    mask[8:, 1] = False
+    s = mo.fit(p, x, y, x[8:], mask=mask, nugget=1e-8)
+    # sensor 1 reconstructed from sensor 0 through B
+    np.testing.assert_allclose(s.mean[:, 1], 0.9 * f[8:], atol=0.05)
+    # and more uncertain than the observed sensor 0
+    assert float(s.variance[:, 1].min()) > float(s.variance[:, 0].max())
