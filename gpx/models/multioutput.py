@@ -1,4 +1,4 @@
-"""Multi-output GPs: the intrinsic coregionalization model (ICM).
+"""Multi-output GPs: intrinsic coregionalization (ICM) and the LMC.
 
 Beyond the reference: its only multi-sensor treatment shares ONE latent
 structure across outputs through a DLM (TemperatureDlm.scala:83-118,
@@ -29,6 +29,12 @@ L-BFGS, the MH/HMC/NUTS machinery — lifts to multi-output models through
 the same ``make_unconstrained_log_posterior`` composition
 (KernelParameters.scala:146-148's unconstrain-then-sample pattern);
 :func:`sample_mh` packages that composition.
+
+:class:`LmcParams` generalizes to the full linear model of
+coregionalization — Q latent processes with distinct base kernels
+(fast + slow components), ``K = Σ_q B_q ⊗ K_q`` — on the dense path;
+every entry point (logML, fit, draw, optimize, sample_mh, mask=) accepts
+either parameter type.
 """
 
 from __future__ import annotations
@@ -95,12 +101,78 @@ def icm(kernel: Kernel, n_outputs: int, rank: int = 1, *, w=None,
                      noise=jnp.asarray(noise, w.dtype))
 
 
-def coregion_matrix(p: IcmParams) -> jnp.ndarray:
-    """``B = W Wᵀ + diag(κ)`` — PSD by construction, (T, T)."""
+@pytree_dataclass
+class LmcTerm:
+    """One latent process of an LMC: a base kernel and its coregionalization
+    ``B_q = W_q W_qᵀ + diag(κ_q)``."""
+
+    kernel: Kernel
+    w: jnp.ndarray
+    kappa: jnp.ndarray
+
+    def bijectors(self) -> "LmcTerm":
+        return LmcTerm(kernel=self.kernel.bijectors(), w=bij.identity,
+                       kappa=bij.positive)
+
+
+@pytree_dataclass
+class LmcParams:
+    """Linear model of coregionalization: ``Cov[f_i(x), f_j(x')] =
+    Σ_q B_q[i, j] · k_q(x, x')`` — Q latent processes with their own
+    kernels (e.g. a fast and a slow component) mixed into T outputs.
+
+    Generalizes :class:`IcmParams` (the Q=1 case); the sum of Kronecker
+    products has no joint diagonalization, so all LMC inference runs the
+    dense (NT) path — suited to the reference's scale (handfuls of
+    sensors), not the Kronecker fast path's."""
+
+    terms: tuple
+    noise: jnp.ndarray
+
+    @property
+    def n_outputs(self) -> int:
+        return self.terms[0].w.shape[0]
+
+    def bijectors(self) -> "LmcParams":
+        return LmcParams(terms=tuple(t.bijectors() for t in self.terms),
+                         noise=bij.positive)
+
+
+def lmc(kernels, n_outputs: int, rank: int = 1, *, kappa=1.0,
+        noise=0.1) -> LmcParams:
+    """Convenience constructor: one LMC term per base kernel, each with a
+    staggered rank-``rank`` loading (see :func:`icm` on why staggered)."""
+    terms = []
+    for q, k in enumerate(kernels):
+        ramp = 1.0 + 0.05 * jnp.arange(n_outputs)[:, None] + 0.01 * q
+        w = ramp * jnp.full((n_outputs, rank), 1.0 / math.sqrt(rank))
+        terms.append(LmcTerm(
+            kernel=k, w=w,
+            kappa=jnp.broadcast_to(jnp.asarray(kappa, w.dtype),
+                                   (n_outputs,)),
+        ))
+    return LmcParams(terms=tuple(terms),
+                     noise=jnp.asarray(noise, jnp.result_type(float)))
+
+
+def coregion_matrix(p) -> jnp.ndarray:
+    """``B = W Wᵀ + diag(κ)`` — PSD by construction, (T, T). For an LMC,
+    the sum over terms (the coregionalization of the total process)."""
+    if isinstance(p, LmcParams):
+        bs = [coregion_matrix(t) for t in p.terms]
+        return sum(bs[1:], bs[0])
     return jnp.matmul(p.w, p.w.T, precision=HI) + jnp.diag(p.kappa)
 
 
-def _check_xy(x, Y, p: IcmParams):
+def _terms(p):
+    """Uniform view: a tuple of (kernel, B_q) pairs for ICM (one term) or
+    LMC (Q terms)."""
+    if isinstance(p, LmcParams):
+        return tuple((t.kernel, coregion_matrix(t)) for t in p.terms)
+    return ((p.kernel, coregion_matrix(p)),)
+
+
+def _check_xy(x, Y, p):
     x = as_locations(x)
     Y = jnp.asarray(Y)
     if Y.ndim != 2:
@@ -119,23 +191,22 @@ def _check_xy(x, Y, p: IcmParams):
     return x, Y
 
 
-def _noise_vec(p: IcmParams) -> jnp.ndarray:
+def _noise_vec(p) -> jnp.ndarray:
     return jnp.broadcast_to(jnp.asarray(p.noise), (p.n_outputs,))
 
 
-def _is_shared_noise(p: IcmParams) -> bool:
+def _is_shared_noise(p) -> bool:
     return jnp.ndim(p.noise) == 0
 
 
-def gram_full(p: IcmParams, x, *, nugget: float = 0.0) -> jnp.ndarray:
-    """The dense (NT, NT) covariance ``B ⊗ K + diag(noise) ⊗ I + nugget·I``
-    in output-major ordering (flat index = output·N + location). Reference
-    material for tests and the per-output-noise path — the Kronecker path
-    never builds it."""
+def gram_full(p, x, *, nugget: float = 0.0) -> jnp.ndarray:
+    """The dense (NT, NT) covariance ``Σ_q B_q ⊗ K_q + diag(noise) ⊗ I +
+    nugget·I`` in output-major ordering (flat index = output·N +
+    location). Reference material for tests and the per-output-noise/LMC
+    paths — the Kronecker path never builds it."""
     x = as_locations(x)
     n = x.shape[0]
-    kxx = p.kernel.gram(x)
-    full = jnp.kron(coregion_matrix(p), kxx)
+    full = sum(jnp.kron(b, kern.gram(x)) for kern, b in _terms(p))
     d = jnp.repeat(_noise_vec(p), n) + nugget
     return full + jnp.diag(d)
 
@@ -179,7 +250,7 @@ def _obs_index(mask, n, t):
 
 
 def log_marginal_likelihood(
-    p: IcmParams, x, Y, *, nugget: float = gp.LOGML_NUGGET,
+    p, x, Y, *, nugget: float = gp.LOGML_NUGGET,
     method: str = "auto", mask=None,
 ) -> jnp.ndarray:
     """Multi-output marginal log-likelihood ``log N(vec Y | 0, B⊗K + D⊗I)``
@@ -205,7 +276,12 @@ def log_marginal_likelihood(
     of ``Y`` are ignored (safe to hold NaN placeholders)."""
     x, Y = _check_xy(x, Y, p)
     n, t = Y.shape
-    if mask is not None:
+    if isinstance(p, LmcParams) and method == "kron":
+        raise ValueError(
+            "method='kron' is ICM-only — a sum of Kronecker products has "
+            "no joint diagonalization; LMC inference is dense"
+        )
+    if mask is not None or isinstance(p, LmcParams):
         method = "dense"
     elif method == "auto":
         method = "kron" if _is_shared_noise(p) else "dense"
@@ -239,28 +315,31 @@ def log_marginal_likelihood(
     )
 
 
-def draw(key, p: IcmParams, x, *, nugget: float = gp.LOGML_NUGGET,
+def draw(key, p, x, *, nugget: float = gp.LOGML_NUGGET,
          include_noise: bool = True) -> jnp.ndarray:
     """One joint draw of all T outputs at ``x`` — (N, T). Matrix-normal
     sampling (the Kronecker analogue of gp.draw's Cholesky route,
-    GaussianProcess.scala:60-75): ``F = L_k Z Bᵃᵀ`` has
-    ``Cov[vec F] = B ⊗ K`` with ``L_k = chol(K + nugget·I)`` and
-    ``Bᵃ = eig-sqrt(B)`` (eig, not Cholesky: rank-deficient B — κ → 0,
-    R < T — is a valid model)."""
+    GaussianProcess.scala:60-75): per latent process ``F_q = L_q Z_q Bᵃᵀ_q``
+    has ``Cov[vec F_q] = B_q ⊗ K_q`` with ``L_q = chol(K_q + nugget·I)``
+    and ``Bᵃ_q = eig-sqrt(B_q)`` (eig, not Cholesky: rank-deficient B —
+    κ → 0, R < T — is a valid model); an LMC draw sums independent terms."""
     x = as_locations(x)
     n, t = x.shape[0], p.n_outputs
-    kxx = p.kernel.gram(x, nugget=nugget)
-    lk = chol.cholesky(kxx)
-    b = coregion_matrix(p)
-    with jax.default_matmul_precision("highest"):
-        lam_b, qb = jnp.linalg.eigh(b)
-    bh = qb * jnp.sqrt(jnp.maximum(lam_b, 0.0))[None, :]
-    k_f, k_e = random.split(key)
-    z = random.normal(k_f, (n, t), dtype=lk.dtype)
-    f = jnp.matmul(jnp.matmul(lk, z, precision=HI), bh.T, precision=HI)
+    terms = _terms(p)
+    keys = random.split(key, len(terms) + 1)
+    f = jnp.zeros((n, t))
+    for kq, (kern, bq) in zip(keys[:-1], terms):
+        lk = chol.cholesky(kern.gram(x, nugget=nugget))
+        with jax.default_matmul_precision("highest"):
+            lam_b, qb = jnp.linalg.eigh(bq)
+        bh = qb * jnp.sqrt(jnp.maximum(lam_b, 0.0))[None, :]
+        z = random.normal(kq, (n, t), dtype=lk.dtype)
+        f = f + jnp.matmul(
+            jnp.matmul(lk, z, precision=HI), bh.T, precision=HI
+        )
     if include_noise:
         f = f + jnp.sqrt(_noise_vec(p))[None, :] * random.normal(
-            k_e, (n, t), dtype=f.dtype
+            keys[-1], (n, t), dtype=f.dtype
         )
     return f
 
@@ -281,7 +360,7 @@ class MultiOutputSummary(NamedTuple):
         return Normal(self.mean, jnp.sqrt(self.variance)).ppf(q)
 
 
-def fit(p: IcmParams, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
+def fit(p, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
         method: str = "auto", mask=None) -> MultiOutputSummary:
     """Posterior mean/variance of every output at test locations ``xs`` —
     GPML Alg 2.1 lifted through the Kronecker structure (the multi-output
@@ -302,14 +381,20 @@ def fit(p: IcmParams, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
     (TemperatureDlm.scala:361-402)."""
     x, Y = _check_xy(x, Y, p)
     xs = as_locations(xs)
-    if mask is not None:
+    if isinstance(p, LmcParams) and method == "kron":
+        raise ValueError(
+            "method='kron' is ICM-only — a sum of Kronecker products has "
+            "no joint diagonalization; LMC inference is dense"
+        )
+    if mask is not None or isinstance(p, LmcParams):
         method = "dense"
     elif method == "auto":
         method = "kron" if _is_shared_noise(p) else "dense"
-    b = coregion_matrix(p)
-    kxs = p.kernel.gram(x, xs)                      # (N, M)
-    kss_diag = p.kernel.diag(xs)                    # (M,)
-    prior_var = kss_diag[:, None] * jnp.diag(b)[None, :]
+    # prior marginal variance sums over latent processes: Σ_q B_q[i,i] k_q*
+    prior_var = sum(
+        kern.diag(xs)[:, None] * jnp.diag(bq)[None, :]
+        for kern, bq in _terms(p)
+    )
 
     if method == "kron":
         if not _is_shared_noise(p):
@@ -317,6 +402,8 @@ def fit(p: IcmParams, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
                 "method='kron' needs scalar (shared) noise — use "
                 "method='dense' for per-output noise"
             )
+        b = coregion_matrix(p)
+        kxs = p.kernel.gram(x, xs)                  # (N, M)
         qk, _, qb, _, s = _kron_eig(p, x, nugget)
         w = jnp.matmul(jnp.matmul(qk.T, Y, precision=HI), qb, precision=HI)
         alpha = jnp.matmul(
@@ -332,12 +419,15 @@ def fit(p: IcmParams, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
         )                                           # (M, T)
     elif method == "dense":
         n, t = Y.shape
-        m = kxs.shape[1]
+        m = xs.shape[0]
         kfull = gram_full(p, x, nugget=nugget)
         yv = Y.T.reshape(-1)
-        # cross block for (output i, test s) is B[:, i] ⊗ kxs[:, s]
+        # cross block for (output i, test s) is Σ_q B_q[:, i] ⊗ k_q,xs[:, s]
         # (NT,) per column; solve all MT columns in one batched trsm
-        cross = jnp.einsum("ji,nm->jnim", b, kxs).reshape(t * n, t * m)
+        cross = sum(
+            jnp.einsum("ji,nm->jnim", bq, kern.gram(x, xs))
+            for kern, bq in _terms(p)
+        ).reshape(t * n, t * m)
         if mask is not None:
             ix = _obs_index(mask, n, t)
             kfull = kfull[jnp.ix_(ix, ix)]
@@ -357,12 +447,12 @@ def fit(p: IcmParams, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
 
 
 def optimize(
-    template: IcmParams,
+    template,
     x,
     Y,
     *,
     nugget: float = gp.LOGML_NUGGET,
-    log_prior: Callable[[IcmParams], jnp.ndarray] | None = None,
+    log_prior: Callable | None = None,
     method: str = "auto",
     mask=None,
     steps: int = 100,
@@ -397,8 +487,8 @@ def sample_mh(
     key,
     x,
     Y,
-    template: IcmParams,
-    log_prior: Callable[[IcmParams], jnp.ndarray],
+    template,
+    log_prior: Callable,
     n_samples: int,
     *,
     proposal_scale: float = 0.1,

@@ -268,3 +268,113 @@ def test_mask_fit_imputes_downed_sensor_from_neighbours():
     np.testing.assert_allclose(s.mean[:, 1], 0.9 * f[8:], atol=0.05)
     # and more uncertain than the observed sensor 0
     assert float(s.variance[:, 1].min()) > float(s.variance[:, 0].max())
+
+
+def _lmc_params(t=2):
+    return mo.LmcParams(
+        terms=(
+            mo.LmcTerm(kernel=gpx.se(1.0, 0.4),
+                       w=jnp.asarray([[0.9], [0.7]]),
+                       kappa=jnp.asarray([0.05, 0.05])),
+            mo.LmcTerm(kernel=gpx.se(0.8, 3.0),
+                       w=jnp.asarray([[0.5], [-0.8]]),
+                       kappa=jnp.asarray([0.02, 0.02])),
+        ),
+        noise=jnp.asarray(0.04),
+    )
+
+
+def test_lmc_gram_full_is_sum_of_kroneckers():
+    p = _lmc_params()
+    x, _ = _data(n=8, t=2)
+    got = np.asarray(mo.gram_full(p, x, nugget=1e-8))
+    want = sum(
+        np.kron(np.asarray(mo.coregion_matrix(tm)),
+                np.asarray(tm.kernel.gram(x)))
+        for tm in p.terms
+    )
+    want += np.diag(np.repeat([0.04, 0.04], 8)) + 1e-8 * np.eye(16)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    assert np.linalg.eigvalsh(got).min() > 0
+
+
+def test_lmc_single_term_matches_icm():
+    # Q=1 LMC must equal the ICM with the same kernel/W/kappa/noise
+    icm_p = _params(t=2, rank=1)
+    lmc_p = mo.LmcParams(
+        terms=(mo.LmcTerm(kernel=icm_p.kernel, w=icm_p.w,
+                          kappa=icm_p.kappa),),
+        noise=icm_p.noise,
+    )
+    x, y = _data(n=12, t=2)
+    got = mo.log_marginal_likelihood(lmc_p, x, y, nugget=1e-8)
+    want = mo.log_marginal_likelihood(icm_p, x, y, nugget=1e-8,
+                                      method="dense")
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
+    xs = x[:4]
+    sl = mo.fit(lmc_p, x, y, xs, nugget=1e-8)
+    si = mo.fit(icm_p, x, y, xs, nugget=1e-8, method="dense")
+    np.testing.assert_allclose(sl.mean, si.mean, rtol=1e-9)
+    np.testing.assert_allclose(sl.variance, si.variance, rtol=1e-9)
+
+
+def test_lmc_rejects_kron():
+    p = _lmc_params()
+    x, y = _data(n=8, t=2)
+    with pytest.raises(ValueError, match="ICM-only"):
+        mo.log_marginal_likelihood(p, x, y, method="kron")
+    with pytest.raises(ValueError, match="ICM-only"):
+        mo.fit(p, x, y, x[:2], method="kron")
+
+
+def test_lmc_draw_covariance():
+    p = _lmc_params()
+    x, _ = _data(n=5, t=2)
+    m = 40_000
+    keys = jax.random.split(jax.random.PRNGKey(9), m)
+    draws = jax.vmap(lambda k: mo.draw(k, p, x, nugget=1e-8))(keys)
+    v = np.asarray(draws).transpose(0, 2, 1).reshape(m, -1)
+    emp = v.T @ v / m
+    want = np.asarray(mo.gram_full(p, x, nugget=1e-8))
+    np.testing.assert_allclose(emp, want, atol=6e-2)
+
+
+def test_lmc_separates_fast_and_slow_components():
+    # output 0 = fast + slow, output 1 = fast - slow (opposite slow
+    # loading): an LMC with the right two kernels must forecast both, and
+    # beat a single-kernel ICM on logML
+    rng = np.random.default_rng(11)
+    x = jnp.linspace(0.0, 8.0, 80)[:, None]
+    slow = jnp.sin(0.7 * x[:, 0])
+    fast = 0.5 * jnp.sin(5.0 * x[:, 0])
+    y = jnp.stack([slow + fast, -slow + fast], axis=1)
+    y = y + 0.02 * jnp.asarray(rng.normal(size=y.shape))
+
+    template = mo.lmc([gpx.se(0.5, 0.4), gpx.se(0.5, 3.0)], n_outputs=2,
+                      kappa=0.05, noise=0.05)
+    res = mo.optimize(template, x, y, steps=80)
+    assert np.isfinite(float(res.value))
+
+    icm_t = mo.icm(gpx.se(0.5, 1.0), n_outputs=2, rank=1, kappa=0.05,
+                   noise=0.05)
+    res_icm = mo.optimize(icm_t, x, y, steps=80)
+    assert float(res.value) > float(res_icm.value) + 10.0
+
+    # the slow term's loadings must come out with opposite signs
+    slows = [tm for tm in res.params.terms
+             if float(tm.kernel.sigma) > 1.0]
+    assert slows, [float(tm.kernel.sigma) for tm in res.params.terms]
+    w = np.asarray(slows[0].w)[:, 0]
+    assert w[0] * w[1] < 0, w
+
+
+def test_lmc_mask_composes():
+    p = _lmc_params()
+    x, y = _data(n=10, t=2)
+    mask = np.ones((10, 2), dtype=bool)
+    mask[7:, 0] = False
+    val = mo.log_marginal_likelihood(p, x, y, mask=mask, nugget=1e-8)
+    assert np.isfinite(float(val))
+    s = mo.fit(p, x, y, x[7:], mask=mask, nugget=1e-8)
+    assert np.isfinite(np.asarray(s.mean)).all()
+    assert (np.asarray(s.variance) > 0).all()
