@@ -177,3 +177,35 @@ def test_mesh_sampler_and_optimize_on_chip(rng):
 
     mle = optimize(params, x, y, steps=5, mesh=mesh, panel=32)
     assert bool(jnp.isfinite(mle.value))
+
+
+def test_multioutput_kron_path_on_chip(rng):
+    """ICM Kronecker path vs dense oracle in compiled mode: the kron route
+    leans on jnp.linalg.eigh, whose QR/Householder internals run
+    single-pass bf16 by default on this chip — the HIGHEST forcing in
+    _kron_eig (multioutput.py) is what this guards."""
+    import gpx
+    from gpx.models import multioutput as mo
+
+    t = 4
+    p = mo.IcmParams(
+        kernel=gpx.se(1.3, 0.9),
+        w=jnp.asarray(rng.normal(size=(t, 2)) * 0.6, jnp.float32),
+        kappa=jnp.full((t,), 0.3, jnp.float32),
+        noise=jnp.asarray(0.05, jnp.float32),
+    )
+    x = jnp.asarray(rng.uniform(-3, 3, size=(512, 1)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(512, t)), jnp.float32)
+
+    lk = float(mo.log_marginal_likelihood(p, x, y, method="kron"))
+    ld = float(mo.log_marginal_likelihood(p, x, y, method="dense"))
+    assert abs(lk - ld) / abs(ld) < 1e-3, (lk, ld)
+
+    xs = jnp.linspace(-3.0, 3.0, 64, dtype=jnp.float32)[:, None]
+    sk = mo.fit(p, x, y, xs, method="kron")
+    sd = mo.fit(p, x, y, xs, method="dense")
+    m_err = float(jnp.abs(sk.mean - sd.mean).max())
+    v_err = float(jnp.abs(sk.variance - sd.variance).max())
+    assert m_err < 5e-2, m_err
+    assert v_err < 5e-2, v_err
+    assert bool((sk.variance > 0).all())
