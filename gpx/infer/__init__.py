@@ -8,10 +8,14 @@ from gpx.infer import base, dual_averaging, ehmc, gibbs, hmc, mcmc, mh, nuts
 from gpx.infer.mcmc import (
     PosteriorSamples,
     sample_ehmc,
+    sample_ehmc_log_density,
     sample_hmc,
+    sample_hmc_log_density,
     sample_mh,
+    sample_mh_log_density,
     sample_mh_within_gibbs,
     sample_nuts,
+    sample_nuts_log_density,
 )
 
 __all__ = [
@@ -25,8 +29,12 @@ __all__ = [
     "nuts",
     "PosteriorSamples",
     "sample_ehmc",
+    "sample_ehmc_log_density",
     "sample_hmc",
+    "sample_hmc_log_density",
     "sample_mh",
+    "sample_mh_log_density",
     "sample_mh_within_gibbs",
     "sample_nuts",
+    "sample_nuts_log_density",
 ]

@@ -158,13 +158,41 @@ def sample_mh(
     gpx.parallel.sample_mh_2d)."""
     log_density = _gp_log_density(x, y, log_prior, nugget, safe=safe,
                                   mesh=mesh, mesh_axis=mesh_axis, panel=panel)
+    sequential = mesh is not None or x.shape[0] >= 8192    # see _run_chains
+    return sample_mh_log_density(
+        key, template, log_density, n_samples,
+        proposal_scale=proposal_scale, n_chains=n_chains, burn_in=burn_in,
+        thin=thin, init_jitter=init_jitter, sequential=sequential,
+    )
+
+
+def sample_mh_log_density(
+    key,
+    template,
+    log_density: Callable,
+    n_samples: int,
+    *,
+    proposal_scale: float = 0.15,
+    n_chains: int = 4,
+    burn_in: int = 0,
+    thin: int = 1,
+    init_jitter: float = 0.1,
+    sequential: bool = False,
+) -> PosteriorSamples:
+    """Random-walk MH over ANY model: ``template`` is a parameter pytree
+    with a ``bijectors()`` method and ``log_density`` maps the constrained
+    pytree to a scalar — the bring-your-own-likelihood sampler behind
+    :func:`sample_mh` (and e.g. the multi-output models), mirroring the
+    reference's generic ``Mcmc`` Kleisli machinery (Mcmc.scala:13-33)
+    which its GP code specializes the same way. ``sequential=True`` runs
+    chains back-to-back (``lax.map``) instead of vmapped — for densities
+    that already saturate the chip (see ``_run_chains``)."""
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
     )
     k_init, k_run = random.split(key)
     inits = _disperse(k_init, flat0, n_chains, init_jitter)
     step = mh.kernel(logpost, mh.gaussian_random_walk(proposal_scale))
-    sequential = mesh is not None or x.shape[0] >= 8192    # see _run_chains
     init_states = _run_chains(lambda f: mh.init(f, logpost), (inits,),
                               sequential=sequential)
     result = base.sample_chains(
@@ -223,12 +251,39 @@ def sample_hmc(
         x, y, log_prior, nugget, analytic_gradients=analytic_gradients,
         mesh=mesh, mesh_axis=mesh_axis, panel=panel,
     )
+    sequential = analytic_gradients or mesh is not None or x.shape[0] >= 8192
+    return sample_hmc_log_density(
+        key, template, log_density, n_samples,
+        l=l, eps=eps, warmup_iters=warmup_iters, adapt_mass=adapt_mass,
+        n_chains=n_chains, burn_in=burn_in, thin=thin,
+        init_jitter=init_jitter, sequential=sequential,
+    )
+
+
+def sample_hmc_log_density(
+    key,
+    template,
+    log_density: Callable,
+    n_samples: int,
+    *,
+    l: int = 10,
+    eps: float | None = None,
+    warmup_iters: int = 500,
+    adapt_mass: bool = False,
+    n_chains: int = 4,
+    burn_in: int = 0,
+    thin: int = 1,
+    init_jitter: float = 0.1,
+    sequential: bool = False,
+) -> PosteriorSamples:
+    """HMC over ANY model (autodiff gradients of ``log_density`` through
+    the bijector lift) — the generic core of :func:`sample_hmc`; see
+    :func:`sample_mh_log_density` for the template/log_density contract."""
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
     )
     k_init, k_wu, k_run = random.split(key, 3)
     inits = _disperse(k_init, flat0, n_chains, init_jitter)
-    sequential = analytic_gradients or mesh is not None or x.shape[0] >= 8192
 
     if adapt_mass and eps is not None:
         raise ValueError(
@@ -321,6 +376,35 @@ def sample_ehmc(
         x, y, log_prior, nugget, analytic_gradients=analytic_gradients,
         mesh=mesh, mesh_axis=mesh_axis, panel=panel,
     )
+    return sample_ehmc_log_density(
+        key, template, log_density, n_samples,
+        l0=l0, warmup_iters=warmup_iters, k=k, l_max=l_max,
+        n_chains=n_chains, burn_in=burn_in, thin=thin,
+        init_jitter=init_jitter,
+        sequential=analytic_gradients or mesh is not None
+        or x.shape[0] >= 8192,
+    )
+
+
+def sample_ehmc_log_density(
+    key,
+    template,
+    log_density: Callable,
+    n_samples: int,
+    *,
+    l0: int = 10,
+    warmup_iters: int = 500,
+    k: int = 2000,
+    l_max: int = 256,
+    n_chains: int = 4,
+    burn_in: int = 0,
+    thin: int = 1,
+    init_jitter: float = 0.1,
+    sequential: bool = False,
+) -> PosteriorSamples:
+    """Empirical HMC over ANY model — the generic core of
+    :func:`sample_ehmc`; see :func:`sample_mh_log_density` for the
+    template/log_density contract."""
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
     )
@@ -344,8 +428,7 @@ def sample_ehmc(
 
     result, extras = _run_chains(
         run_one, (random.split(k_run, n_chains), inits),
-        sequential=analytic_gradients or mesh is not None
-        or x.shape[0] >= 8192,
+        sequential=sequential,
     )
     return _package(
         template, template.bijectors(), unravel, result.samples,
@@ -394,6 +477,34 @@ def sample_nuts(
         x, y, log_prior, nugget, analytic_gradients=analytic_gradients,
         mesh=mesh, mesh_axis=mesh_axis, panel=panel,
     )
+    return sample_nuts_log_density(
+        key, template, log_density, n_samples,
+        max_depth=max_depth, eps=eps, warmup_iters=warmup_iters,
+        adapt_mass=adapt_mass, n_chains=n_chains, burn_in=burn_in,
+        thin=thin, init_jitter=init_jitter,
+        sequential=analytic_gradients or mesh is not None
+        or x.shape[0] >= 8192,
+    )
+
+
+def sample_nuts_log_density(
+    key,
+    template,
+    log_density: Callable,
+    n_samples: int,
+    *,
+    max_depth: int = 8,
+    eps: float | None = None,
+    warmup_iters: int = 500,
+    adapt_mass: bool = False,
+    n_chains: int = 4,
+    burn_in: int = 0,
+    thin: int = 1,
+    init_jitter: float = 0.1,
+    sequential: bool = False,
+) -> PosteriorSamples:
+    """NUTS over ANY model — the generic core of :func:`sample_nuts`; see
+    :func:`sample_mh_log_density` for the template/log_density contract."""
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
     )
@@ -417,8 +528,7 @@ def sample_nuts(
 
     (result, extras) = _run_chains(
         run_one, (random.split(k_run, n_chains), inits),
-        sequential=analytic_gradients or mesh is not None
-        or x.shape[0] >= 8192,
+        sequential=sequential,
     )
     positions, depths = result.samples
     extras = dict(extras, depth=depths)

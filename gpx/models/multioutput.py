@@ -500,12 +500,13 @@ def sample_mh(
     method: str = "auto",
     mask=None,
 ):
-    """Random-walk MH over all ICM hyperparameters (base kernel, W, κ,
-    noise) — the KernelParameters.sample composition
-    (KernelParameters.scala:231-246) lifted to the multi-output likelihood;
-    returns the same PosteriorSamples the single-output samplers do.
-    ``mask`` samples against an incomplete grid (dense likelihood)."""
-    from gpx.infer import base, mcmc, mh
+    """Random-walk MH over all multi-output hyperparameters (base
+    kernel(s), W, κ, noise) — the KernelParameters.sample composition
+    (KernelParameters.scala:231-246) lifted to the ICM/LMC likelihood via
+    the generic ``sample_mh_log_density``; returns the same
+    PosteriorSamples the single-output samplers do. ``mask`` samples
+    against an incomplete grid (dense likelihood)."""
+    from gpx.infer import sample_mh_log_density
 
     x, Y = _check_xy(x, Y, template)
 
@@ -514,18 +515,49 @@ def sample_mh(
             p, x, Y, nugget=nugget, method=method, mask=mask
         )
 
-    logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
-        log_density, template
+    return sample_mh_log_density(
+        key, template, log_density, n_samples,
+        proposal_scale=proposal_scale, n_chains=n_chains, burn_in=burn_in,
+        thin=thin, init_jitter=init_jitter,
     )
-    k_init, k_run = random.split(key)
-    inits = mcmc._disperse(k_init, flat0, n_chains, init_jitter)
-    step = mh.kernel(logpost, mh.gaussian_random_walk(proposal_scale))
-    init_states = jax.jit(jax.vmap(lambda f: mh.init(f, logpost)))(inits)
-    result = base.sample_chains(
-        step, init_states, k_run, n_samples, n_chains,
-        burn_in=burn_in, thin=thin, collect=lambda s: s.position,
-    )
-    return mcmc._package(
-        template, template.bijectors(), unravel, result.samples,
-        result.accept_rate, {},
+
+
+def sample_nuts(
+    key,
+    x,
+    Y,
+    template,
+    log_prior: Callable,
+    n_samples: int,
+    *,
+    max_depth: int = 8,
+    eps: float | None = None,
+    warmup_iters: int = 500,
+    adapt_mass: bool = False,
+    n_chains: int = 4,
+    burn_in: int = 0,
+    thin: int = 1,
+    nugget: float = gp.LOGML_NUGGET,
+    init_jitter: float = 0.1,
+    method: str = "auto",
+    mask=None,
+):
+    """NUTS over all multi-output hyperparameters — gradients flow by
+    autodiff through the kron (eigh VJP) or dense (Cholesky VJP) logML;
+    if warmup wanders into a degenerate-B region and NaNs the eigh VJP,
+    pass ``method="dense"`` (see :func:`log_marginal_likelihood`)."""
+    from gpx.infer import sample_nuts_log_density
+
+    x, Y = _check_xy(x, Y, template)
+
+    def log_density(p):
+        return log_prior(p) + log_marginal_likelihood(
+            p, x, Y, nugget=nugget, method=method, mask=mask
+        )
+
+    return sample_nuts_log_density(
+        key, template, log_density, n_samples,
+        max_depth=max_depth, eps=eps, warmup_iters=warmup_iters,
+        adapt_mass=adapt_mass, n_chains=n_chains, burn_in=burn_in,
+        thin=thin, init_jitter=init_jitter,
     )
