@@ -8,6 +8,7 @@ from gpx.models import (
     gp,
     gp_iterative,
     multioutput,
+    multioutput_iterative,
     optimize,
     sparse,
     svgp,
@@ -15,5 +16,5 @@ from gpx.models import (
 
 __all__ = [
     "classify", "dlm", "dlmgp", "gp", "gp_iterative", "multioutput",
-    "optimize", "sparse", "svgp",
+    "multioutput_iterative", "optimize", "sparse", "svgp",
 ]

@@ -460,16 +460,77 @@ def optimize(
     learning_rate: float = 0.05,
     grad_tol: float = 1e-3,
     history_size: int = 10,
+    key=None,
+    n_probes: int = 16,
+    lanczos_iters: int = 32,
+    cg_tol: float = 1e-5,
+    cg_max_iters: int = 1000,
+    precond_rank: int = 0,
+    mesh=None,
+    mesh_axis: str = "data",
 ):
     """Type-II MLE / MAP over all ICM hyperparameters — the multi-output
     counterpart of :func:`gpx.models.optimize.optimize`, via the generic
     ``optimize_log_density`` core. The default (kron) objective
     differentiates through ``eigh``: if a fit drives B toward a degenerate
     spectrum (NaN gradient), pass ``method="dense"``. ``mask`` fits to an
-    incomplete grid (dense likelihood)."""
-    from gpx.models.optimize import optimize_log_density
+    incomplete grid (dense likelihood).
+
+    ``method="iterative"`` optimizes the MATRIX-FREE multi-output logML
+    estimate (gpx.models.multioutput_iterative: streamed Kronecker matvec,
+    CG + SLQ + Hutchinson) — large-N·T type-II MLE. Requires
+    ``optimizer="adam"`` (stochastic gradients); accepts ``key`` /
+    ``n_probes`` / ``lanczos_iters`` / ``cg_tol`` / ``precond_rank``
+    (ICM + shared noise only) / ``mesh`` (row-sharded matvecs); no
+    ``mask`` (the masked operator loses the Kronecker stream — use the
+    dense path)."""
+    import jax as _jax
+
+    from gpx.models.optimize import (
+        optimize_log_density,
+        stochastic_log_density_vjp,
+    )
 
     x, Y = _check_xy(x, Y, template)
+
+    if method == "iterative":
+        if optimizer != "adam":
+            raise ValueError(
+                "method='iterative' has stochastic (SLQ/Hutchinson) "
+                "gradients — use optimizer='adam'"
+            )
+        if mask is not None:
+            raise ValueError(
+                "method='iterative' does not support mask= — incomplete "
+                "grids break the streamed Kronecker matvec; use the dense "
+                "path"
+            )
+        from gpx.models.multioutput_iterative import (
+            logml_value_and_grad_iterative,
+        )
+
+        def _run(p, kb):
+            return logml_value_and_grad_iterative(
+                p, x, Y, kb, nugget=nugget, n_probes=n_probes,
+                lanczos_iters=lanczos_iters, cg_tol=cg_tol,
+                cg_max_iters=cg_max_iters, precond_rank=precond_rank,
+                mesh=mesh, mesh_axis=mesh_axis,
+            )
+
+        loglik = stochastic_log_density_vjp(_run)
+        step_keys = _jax.random.split(
+            key if key is not None else _jax.random.PRNGKey(0), steps + 1
+        )
+
+        def log_density(p, kb):
+            val = loglik(p, kb)
+            return val if log_prior is None else val + log_prior(p)
+
+        return optimize_log_density(
+            template, log_density, steps=steps, optimizer=optimizer,
+            learning_rate=learning_rate, grad_tol=grad_tol,
+            history_size=history_size, step_keys=step_keys,
+        )
 
     def log_density(p):
         val = log_marginal_likelihood(p, x, Y, nugget=nugget, method=method,

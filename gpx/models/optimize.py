@@ -171,6 +171,7 @@ def optimize_log_density(
     learning_rate: float = 0.05,
     grad_tol: float = 1e-3,
     history_size: int = 10,
+    step_keys=None,
 ) -> OptimizeResult:
     """Maximize an arbitrary log density over any gpx parameter pytree.
 
@@ -181,21 +182,31 @@ def optimize_log_density(
     compiled ``lax.scan`` of L-BFGS (zoom linesearch) or Adam steps —
     the deterministic counterpart to handing the same ``(template,
     log_density)`` pair to the samplers via
-    ``mh.make_unconstrained_log_posterior``."""
+    ``mh.make_unconstrained_log_posterior``.
+
+    ``step_keys`` (``steps + 1`` PRNG keys): for STOCHASTIC log densities
+    (SLQ/Hutchinson estimates), ``log_density(p, key)`` receives a fresh
+    key per step; requires ``optimizer="adam"`` (a zoom linesearch cannot
+    compare noisy objective values)."""
     if optimizer not in ("lbfgs", "adam"):
         raise ValueError(f"unknown optimizer: {optimizer!r}")
+    if step_keys is not None and optimizer != "adam":
+        raise ValueError(
+            "step_keys (stochastic log density) requires optimizer='adam'"
+        )
     bij = template.bijectors()
     u0 = unconstrain(bij, template)
     flat0, unravel = unraveler(u0)
 
     def objective(uflat, kb=None):
-        val = log_density(constrain(bij, unravel(uflat)))
+        p = constrain(bij, unravel(uflat))
+        val = log_density(p) if kb is None else log_density(p, kb)
         return jnp.where(jnp.isfinite(val), -val, jnp.inf)
 
     return _run_flat_opt(
         objective, flat0, bij, unravel,
         optimizer=optimizer, steps=steps, learning_rate=learning_rate,
-        history_size=history_size, grad_tol=grad_tol, step_keys=None,
+        history_size=history_size, grad_tol=grad_tol, step_keys=step_keys,
     )
 
 
@@ -259,32 +270,22 @@ def _run_flat_opt(objective, flat0, bij, unravel, *, optimizer, steps,
     )
 
 
-def _iterative_loglik_vjp(x, y, *, nugget, n_probes, lanczos_iters,
-                          precond_rank, mesh, mesh_axis):
-    """``(params, key) -> logML estimate`` whose reverse-mode gradient is
-    the matrix-free Hutchinson estimate packaged by
-    ``gp_iterative.logml_value_and_grad_iterative`` (CG-exact quadratic
-    term; SLQ logdet; probes drawn from ``key``). The key gets a
-    symbolic-zero cotangent — it parameterizes the ESTIMATOR, not the
-    model."""
+def stochastic_log_density_vjp(run):
+    """Wrap ``run(params, key) -> result`` (any object with ``.value`` and
+    ``.grads``, e.g. the iterative logML estimators) into ``f(params, key)
+    -> value`` whose reverse-mode gradient is ``result.grads`` — the glue
+    that lets ``jax.grad`` consume estimators that package their own
+    gradients. The key gets a symbolic-zero cotangent: it parameterizes
+    the ESTIMATOR, not the model."""
     from jax.dtypes import float0
     import numpy as np
 
-    from gpx.models.gp_iterative import logml_value_and_grad_iterative
-
-    def _run(p, kb):
-        return logml_value_and_grad_iterative(
-            p, x, y, kb, nugget=nugget, n_probes=n_probes,
-            lanczos_iters=lanczos_iters, precond_rank=precond_rank,
-            mesh=mesh, mesh_axis=mesh_axis,
-        )
-
     @jax.custom_vjp
     def f(p, kb):
-        return _run(p, kb).value
+        return run(p, kb).value
 
     def fwd(p, kb):
-        res = _run(p, kb)
+        res = run(p, kb)
         return res.value, (res.grads, kb)
 
     def bwd(residual, ct):
@@ -294,3 +295,21 @@ def _iterative_loglik_vjp(x, y, *, nugget, n_probes, lanczos_iters,
 
     f.defvjp(fwd, bwd)
     return f
+
+
+def _iterative_loglik_vjp(x, y, *, nugget, n_probes, lanczos_iters,
+                          precond_rank, mesh, mesh_axis):
+    """``(params, key) -> logML estimate`` whose reverse-mode gradient is
+    the matrix-free Hutchinson estimate packaged by
+    ``gp_iterative.logml_value_and_grad_iterative`` (CG-exact quadratic
+    term; SLQ logdet; probes drawn from ``key``)."""
+    from gpx.models.gp_iterative import logml_value_and_grad_iterative
+
+    def _run(p, kb):
+        return logml_value_and_grad_iterative(
+            p, x, y, kb, nugget=nugget, n_probes=n_probes,
+            lanczos_iters=lanczos_iters, precond_rank=precond_rank,
+            mesh=mesh, mesh_axis=mesh_axis,
+        )
+
+    return stochastic_log_density_vjp(_run)
