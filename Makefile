@@ -59,7 +59,11 @@ bench-samplers:
 	python benchmarks/sampler_scale.py --sampler nuts --n 4096
 	python benchmarks/sampler_scale.py --sampler nuts --n 16384 --n-samples 6 --eps 0.01
 
+bench-multioutput:
+	python benchmarks/multioutput_scale.py --n 4096 --t 4 --dense-check
+	python benchmarks/multioutput_scale.py --n 16384 --t 8
+
 .PHONY: simulated hmc_simulated posterior_predictive fit_temp_gp \
 	krig_temperature fit_temp_dlm forecast_temperature_dlm fit_dlm_gp \
 	icm_temperature mnist large_n test test-tpu bench bench-roofline \
-	bench-samplers
+	bench-samplers bench-multioutput
