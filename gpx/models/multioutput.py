@@ -344,6 +344,54 @@ def draw(key, p, x, *, nugget: float = gp.LOGML_NUGGET,
     return f
 
 
+def posterior_draw(key, p, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
+                   jitter: float = 1e-8, shape=(),
+                   include_noise: bool = True, mask=None) -> jnp.ndarray:
+    """Joint draw of all T outputs from the multi-output posterior at
+    ``xs`` — ``(*shape, M, T)``, the coupled-outputs analogue of
+    :func:`gpx.models.gp.posterior_draw` (the ``efficientDraw`` capability,
+    GaussianProcess.scala:146-164). Exact: Cholesky of the (MT × MT)
+    posterior covariance, so draws carry the full cross-output AND
+    cross-location dependence that marginal intervals (``fit``) lose.
+    ``include_noise`` adds the observation noise ``D ⊗ I`` (matching the
+    variance convention of :func:`fit`); ``mask`` conditions on an
+    incomplete grid, so a draw jointly imputes a downed sensor."""
+    x, Y = _check_xy(x, Y, p)
+    xs = as_locations(xs)
+    n, t = Y.shape
+    m = xs.shape[0]
+    kfull = gram_full(p, x, nugget=nugget)
+    yv = Y.T.reshape(-1)
+    # output-major on both axes: row (j, n) = j·N + n, col (i, s) = i·M + s
+    cross = sum(
+        jnp.einsum("ji,nm->jnim", bq, kern.gram(x, xs))
+        for kern, bq in _terms(p)
+    ).reshape(t * n, t * m)
+    kss = sum(
+        jnp.einsum("ij,su->isju", bq, kern.gram(xs))
+        for kern, bq in _terms(p)
+    ).reshape(t * m, t * m)
+    if include_noise:
+        kss = kss + jnp.diag(jnp.repeat(_noise_vec(p), m)).astype(kss.dtype)
+    if mask is not None:
+        ix = _obs_index(mask, n, t)
+        kfull = kfull[jnp.ix_(ix, ix)]
+        yv = jnp.where(jnp.isfinite(yv), yv, 0.0)[ix]
+        cross = cross[ix]
+    l = chol.cholesky(kfull)
+    u = chol.forward_solve(l, yv)
+    alpha = chol.back_solve(l.T, u)
+    mean = jnp.matmul(cross.T, alpha, precision=HI)          # (MT,)
+    v = chol.forward_solve(l, cross)
+    # HIGHEST: difference of like-sized terms (same rationale as gp.fit's
+    # full_cov path — bf16 default matmul pushes small variances negative)
+    cov = kss - jnp.matmul(v.T, v, precision=HI)
+    lp = chol.cholesky(cov + jitter * jnp.eye(t * m, dtype=cov.dtype))
+    z = random.normal(key, (*shape, t * m), dtype=lp.dtype)
+    draws = mean + jnp.matmul(z, lp.T, precision=HI)
+    return jnp.moveaxis(draws.reshape(*shape, t, m), -2, -1)
+
+
 class MultiOutputSummary(NamedTuple):
     """Marginal posterior over every output at M test locations — the
     (M, T) analogue of gp.PosteriorSummary (Predict.scala:61)."""

@@ -378,3 +378,66 @@ def test_lmc_mask_composes():
     s = mo.fit(p, x, y, x[7:], mask=mask, nugget=1e-8)
     assert np.isfinite(np.asarray(s.mean)).all()
     assert (np.asarray(s.variance) > 0).all()
+
+
+def test_posterior_draw_moments_match_fit():
+    # tiny problem, many draws: empirical mean/marginal variance of the
+    # joint posterior draws must match fit's exact marginals
+    p = _params(t=2, rank=1, noise=0.1)
+    x, y = _data(n=16, t=2)
+    xs = jnp.linspace(-3.5, 3.5, 5)[:, None]
+    draws = mo.posterior_draw(jax.random.PRNGKey(0), p, x, y, xs,
+                              shape=(6000,))
+    assert draws.shape == (6000, 5, 2)
+    s = mo.fit(p, x, y, xs)
+    np.testing.assert_allclose(np.asarray(draws.mean(0)),
+                               np.asarray(s.mean), atol=0.05)
+    np.testing.assert_allclose(np.asarray(draws.var(0)),
+                               np.asarray(s.variance), rtol=0.15, atol=0.01)
+
+
+def test_posterior_draw_joint_covariance_exact():
+    # the full (MT) empirical covariance must match the dense posterior
+    # covariance computed independently with numpy
+    p = _params(t=2, rank=1, noise=0.1)
+    x, y = _data(n=12, t=2)
+    xs = jnp.linspace(-2.0, 2.0, 3)[:, None]
+    n, t, m = 12, 2, 3
+    kfull = np.asarray(mo.gram_full(p, x, nugget=gp.PREDICT_NUGGET))
+    terms = mo._terms(p)
+    cross = sum(
+        np.einsum("ji,nm->jnim", np.asarray(bq), np.asarray(kern.gram(x, xs)))
+        for kern, bq in terms
+    ).reshape(t * n, t * m)
+    kss = sum(
+        np.einsum("ij,su->isju", np.asarray(bq), np.asarray(kern.gram(xs)))
+        for kern, bq in terms
+    ).reshape(t * m, t * m)
+    kss += np.diag(np.repeat(np.asarray(mo._noise_vec(p)), m))
+    want_cov = kss - cross.T @ np.linalg.solve(kfull, cross)
+
+    draws = mo.posterior_draw(jax.random.PRNGKey(1), p, x, y, xs,
+                              shape=(20000,))
+    flat = np.moveaxis(np.asarray(draws), -1, -2).reshape(-1, t * m)
+    emp = np.cov(flat.T)
+    assert np.max(np.abs(emp - want_cov)) < 0.1 * max(np.abs(want_cov).max(),
+                                                      1e-3)
+
+
+def test_posterior_draw_mask_and_lmc():
+    p = gpx.models.multioutput.lmc(
+        [gpx.se(1.0, 0.5), gpx.se(0.6, 2.0)], 2, rank=1, noise=0.08
+    )
+    x, y = _data(n=14, t=2)
+    mask = np.ones((14, 2), dtype=bool)
+    mask[8:, 1] = False
+    d = mo.posterior_draw(jax.random.PRNGKey(2), p, x, y, x[8:],
+                          shape=(4,), mask=mask)
+    assert d.shape == (4, 6, 2)
+    assert bool(jnp.isfinite(d).all())
+    # masked imputation centers on the masked fit's mean
+    many = mo.posterior_draw(jax.random.PRNGKey(3), p, x, y, x[8:],
+                             shape=(4000,), mask=mask)
+    s = mo.fit(p, x, y, x[8:], mask=mask)
+    np.testing.assert_allclose(np.asarray(many.mean(0)), np.asarray(s.mean),
+                               atol=0.08)
