@@ -344,6 +344,33 @@ def draw(key, p, x, *, nugget: float = gp.LOGML_NUGGET,
     return f
 
 
+def _dense_cross_solve(p, x, Y, xs, nugget, mask):
+    """Shared dense-path assembly for :func:`fit` and
+    :func:`posterior_draw`: Cholesky of the (mask-subset) observed block,
+    ``alpha = K⁻¹ vec Y``, the output-major cross-covariance columns, and
+    their forward-solved block ``V = L⁻¹ C`` (so ``VᵀV = Cᵀ K⁻¹ C``)."""
+    n, t = Y.shape
+    m = xs.shape[0]
+    kfull = gram_full(p, x, nugget=nugget)
+    yv = Y.T.reshape(-1)
+    # cross block for (output i, test s) is Σ_q B_q[:, i] ⊗ k_q,xs[:, s]
+    # (NT,) per column — output-major on both axes
+    cross = sum(
+        jnp.einsum("ji,nm->jnim", bq, kern.gram(x, xs))
+        for kern, bq in _terms(p)
+    ).reshape(t * n, t * m)
+    if mask is not None:
+        ix = _obs_index(mask, n, t)
+        kfull = kfull[jnp.ix_(ix, ix)]
+        yv = jnp.where(jnp.isfinite(yv), yv, 0.0)[ix]
+        cross = cross[ix]
+    l = chol.cholesky(kfull)
+    u = chol.forward_solve(l, yv)
+    alpha = chol.back_solve(l.T, u)
+    v = chol.forward_solve(l, cross)
+    return alpha, cross, v
+
+
 def posterior_draw(key, p, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
                    jitter: float = 1e-8, shape=(),
                    include_noise: bool = True, mask=None) -> jnp.ndarray:
@@ -358,31 +385,16 @@ def posterior_draw(key, p, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
     incomplete grid, so a draw jointly imputes a downed sensor."""
     x, Y = _check_xy(x, Y, p)
     xs = as_locations(xs)
-    n, t = Y.shape
+    t = Y.shape[1]
     m = xs.shape[0]
-    kfull = gram_full(p, x, nugget=nugget)
-    yv = Y.T.reshape(-1)
-    # output-major on both axes: row (j, n) = j·N + n, col (i, s) = i·M + s
-    cross = sum(
-        jnp.einsum("ji,nm->jnim", bq, kern.gram(x, xs))
-        for kern, bq in _terms(p)
-    ).reshape(t * n, t * m)
     kss = sum(
         jnp.einsum("ij,su->isju", bq, kern.gram(xs))
         for kern, bq in _terms(p)
     ).reshape(t * m, t * m)
     if include_noise:
         kss = kss + jnp.diag(jnp.repeat(_noise_vec(p), m)).astype(kss.dtype)
-    if mask is not None:
-        ix = _obs_index(mask, n, t)
-        kfull = kfull[jnp.ix_(ix, ix)]
-        yv = jnp.where(jnp.isfinite(yv), yv, 0.0)[ix]
-        cross = cross[ix]
-    l = chol.cholesky(kfull)
-    u = chol.forward_solve(l, yv)
-    alpha = chol.back_solve(l.T, u)
+    alpha, cross, v = _dense_cross_solve(p, x, Y, xs, nugget, mask)
     mean = jnp.matmul(cross.T, alpha, precision=HI)          # (MT,)
-    v = chol.forward_solve(l, cross)
     # HIGHEST: difference of like-sized terms (same rationale as gp.fit's
     # full_cov path — bf16 default matmul pushes small variances negative)
     cov = kss - jnp.matmul(v.T, v, precision=HI)
@@ -466,26 +478,9 @@ def fit(p, x, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
             jnp.matmul(w2.T, 1.0 / s, precision=HI), u2, precision=HI
         )                                           # (M, T)
     elif method == "dense":
-        n, t = Y.shape
-        m = xs.shape[0]
-        kfull = gram_full(p, x, nugget=nugget)
-        yv = Y.T.reshape(-1)
-        # cross block for (output i, test s) is Σ_q B_q[:, i] ⊗ k_q,xs[:, s]
-        # (NT,) per column; solve all MT columns in one batched trsm
-        cross = sum(
-            jnp.einsum("ji,nm->jnim", bq, kern.gram(x, xs))
-            for kern, bq in _terms(p)
-        ).reshape(t * n, t * m)
-        if mask is not None:
-            ix = _obs_index(mask, n, t)
-            kfull = kfull[jnp.ix_(ix, ix)]
-            yv = jnp.where(jnp.isfinite(yv), yv, 0.0)[ix]
-            cross = cross[ix]
-        l = chol.cholesky(kfull)
-        u = chol.forward_solve(l, yv)
-        alpha = chol.back_solve(l.T, u)             # (obs,)
+        t, m = Y.shape[1], xs.shape[0]
+        alpha, cross, v = _dense_cross_solve(p, x, Y, xs, nugget, mask)
         mean = jnp.matmul(cross.T, alpha, precision=HI).reshape(t, m).T
-        v = chol.forward_solve(l, cross)            # (obs, MT)
         red = jnp.sum(v * v, axis=0).reshape(t, m).T
     else:
         raise ValueError(f"unknown method: {method!r}")
@@ -532,8 +527,6 @@ def optimize(
     (ICM + shared noise only) / ``mesh`` (row-sharded matvecs); no
     ``mask`` (the masked operator loses the Kronecker stream — use the
     dense path)."""
-    import jax as _jax
-
     from gpx.models.optimize import (
         optimize_log_density,
         stochastic_log_density_vjp,
@@ -566,8 +559,8 @@ def optimize(
             )
 
         loglik = stochastic_log_density_vjp(_run)
-        step_keys = _jax.random.split(
-            key if key is not None else _jax.random.PRNGKey(0), steps + 1
+        step_keys = random.split(
+            key if key is not None else random.PRNGKey(0), steps + 1
         )
 
         def log_density(p, kb):

@@ -138,15 +138,19 @@ def kron_matvec(p, x, *, nugget: float = 0.0, mesh=None,
 # ---------------------------------------------------------------------------
 
 class KronWoodburyPreconditioner(NamedTuple):
-    """``P = B ⊗ L_r L_rᵀ + σ² I`` held jointly diagonalized: ``eigh(B) =
-    Qb Λb Qbᵀ`` (T×T, exact) and the base kernel's pivoted-Cholesky
-    eigenbasis ``W`` (N×r, orthonormal — gp_iterative's
-    WoodburyPreconditioner construction). In the rotated basis
+    """``P = B ⊗ (L_r L_rᵀ + σ_w² I) + σ² I`` held jointly diagonalized:
+    ``eigh(B) = Qb Λb Qbᵀ`` (T×T, exact) and the SMOOTH part of the base
+    kernel's pivoted-Cholesky eigenbasis ``W`` (N×r, orthonormal —
+    gp_iterative's WoodburyPreconditioner construction; any White
+    component σ_w² is split out, same as the single-output path, so the
+    rank-r budget goes to the smooth spectrum). In the rotated basis
     ``(Qbᵀ ⊗ I)``, output-column ``a`` is the standard Woodbury with
-    spectrum ``λb[a]·lam``, so apply/logdet/sample are exact:
+    spectrum ``λb[a]·lam`` and its OWN noise floor
+    ``noise[a] = λb[a]·σ_w² + σ²``, so apply/logdet/sample are exact:
 
         P⁻¹ = (Qb ⊗ I) blockdiag_a[ Wc_aWᵀ-form ] (Qbᵀ ⊗ I),
-        log det P = Σ_{a,i} log(λb[a]·lam[i] + σ²) + T(N − r)·log σ².
+        log det P = Σ_{a,i} log(λb[a]·lam[i] + noise[a])
+                    + (N − r)·Σ_a log noise[a].
 
     Same symmetric eigen-scale form (not textbook Woodbury solves) for the
     same f32 reason documented on the single-output class. Operates on
@@ -156,7 +160,7 @@ class KronWoodburyPreconditioner(NamedTuple):
     lam: jnp.ndarray      # (r,) eigenvalues of L_r L_rᵀ, >= 0
     lam_b: jnp.ndarray    # (T,) eigenvalues of B, >= 0
     qb: jnp.ndarray       # (T, T) orthonormal
-    noise: jnp.ndarray    # scalar: shared observation variance + nugget
+    noise: jnp.ndarray    # (T,) per-rotated-column floor λb·σ_w² + σ²
     n: int
     t: int
 
@@ -171,13 +175,13 @@ class KronWoodburyPreconditioner(NamedTuple):
         V = self._rot(_to_mat(v2, self.n, self.t))          # (N, T, R) rotated
         w = self.w.astype(V.dtype)
         lam_at = self.lam_b[:, None] * self.lam[None, :]     # (T, r)
-        scale = (lam_at / (lam_at + self.noise)).astype(V.dtype)
+        scale = (lam_at / (lam_at + self.noise[:, None])).astype(V.dtype)
         tproj = jnp.einsum("nk,nar->kar", w, V, precision=HI)
         out = (
             V - jnp.einsum(
                 "nk,kar->nar", w, scale.T[:, :, None] * tproj, precision=HI
             )
-        ) / self.noise.astype(V.dtype)
+        ) / self.noise[None, :, None].astype(V.dtype)
         flat = _to_flat(self._rot(out, back=True))
         return flat[:, 0] if squeeze else flat
 
@@ -185,9 +189,9 @@ class KronWoodburyPreconditioner(NamedTuple):
     def logdet(self):
         rank = self.lam.shape[0]
         lam_at = self.lam_b[:, None] * self.lam[None, :]
-        return jnp.sum(jnp.log(lam_at + self.noise)) + self.t * (
+        return jnp.sum(jnp.log(lam_at + self.noise[:, None])) + (
             self.n - rank
-        ) * jnp.log(self.noise)
+        ) * jnp.sum(jnp.log(self.noise))
 
     def sample(self, key, n_probes: int, base: str = "normal"):
         """Probes ``z = P^{1/2} u`` (E[z zᵀ] = P for any unit-covariance
@@ -199,18 +203,23 @@ class KronWoodburyPreconditioner(NamedTuple):
         else:
             u = random.normal(key, shape, self.w.dtype)
         lam_at = self.lam_b[:, None] * self.lam[None, :]     # (T, r)
-        gain = jnp.sqrt(lam_at + self.noise) - jnp.sqrt(self.noise)
+        root = jnp.sqrt(self.noise)                          # (T,)
+        gain = jnp.sqrt(lam_at + self.noise[:, None]) - root[:, None]
         tproj = jnp.einsum("nk,nar->kar", self.w, u, precision=HI)
         z = jnp.einsum(
             "nk,kar->nar", self.w, gain.T[:, :, None] * tproj, precision=HI
-        ) + jnp.sqrt(self.noise) * u
+        ) + root[None, :, None] * u
         return _to_flat(self._rot(z, back=True))
 
 
 def kron_preconditioner(p: IcmParams, x, rank: int, *,
                         nugget: float = 0.0) -> KronWoodburyPreconditioner:
     """Build the Kronecker Woodbury for an ICM with shared noise: pivoted
-    Cholesky of the base kernel (rank ``rank``) + exact ``eigh(B)``."""
+    Cholesky of the smooth part of the base kernel (rank ``rank``) + exact
+    ``eigh(B)``; a White component in the base kernel moves to the
+    per-rotated-column noise floor instead of eating the rank budget
+    (the single-output guard, gp_iterative.py:495-503, lifted through
+    the Kronecker structure)."""
     if isinstance(p, LmcParams):
         raise ValueError(
             "preconditioning is ICM-only — an LMC's sum of Kronecker "
@@ -221,16 +230,26 @@ def kron_preconditioner(p: IcmParams, x, rank: int, *,
             "preconditioning needs scalar (shared) noise — per-output "
             "noise breaks the output-axis rotation; use precond_rank=0"
         )
+    from gpx.kernels import split_noise
+
     x = as_locations(x)
+    smooth, noise_w = split_noise(p.kernel)
+    if smooth is None:
+        raise ValueError(
+            "the ICM base kernel is pure White — there is no smooth "
+            "spectrum to precondition; use precond_rank=0"
+        )
     wp = pivoted_cholesky_preconditioner(
-        p.kernel, x, rank, noise=float(1.0)  # noise substituted below
+        smooth, x, rank, noise=float(1.0)  # noise substituted below
     )
     b = coregion_matrix(p)
     with jax.default_matmul_precision("highest"):
         lam_b, qb = jnp.linalg.eigh(b)
+    lam_b = jnp.maximum(lam_b, 0.0)
+    floor = jnp.asarray(p.noise) + nugget + 1e-8
     return KronWoodburyPreconditioner(
-        w=wp.w, lam=wp.lam, lam_b=jnp.maximum(lam_b, 0.0), qb=qb,
-        noise=jnp.asarray(p.noise) + nugget + 1e-8, n=x.shape[0],
+        w=wp.w, lam=wp.lam, lam_b=lam_b, qb=qb,
+        noise=lam_b * jnp.asarray(noise_w) + floor, n=x.shape[0],
         t=p.n_outputs,
     )
 

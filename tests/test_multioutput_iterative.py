@@ -90,15 +90,20 @@ def test_kron_matvec_xla_path_matches_and_differentiates():
     assert any(np.any(np.asarray(l) != 0) for l in leaves)
 
 
+def _dense_precond(pre, b, n):
+    """Dense P = B ⊗ (W lam Wᵀ) + Qb diag(noise) Qbᵀ ⊗ I, output-major."""
+    wlw = np.asarray(pre.w) * np.asarray(pre.lam) @ np.asarray(pre.w).T
+    qb = np.asarray(pre.qb)
+    noise_t = qb @ np.diag(np.asarray(pre.noise)) @ qb.T
+    return np.kron(b, wlw) + np.kron(noise_t, np.eye(n))
+
+
 def test_kron_preconditioner_is_exact_inverse():
     p = _params(noise=0.1)
     x, _ = _data(n=20)
     n, t = 20, 3
     pre = moi.kron_preconditioner(p, x, rank=20, nugget=0.0)
-    # dense P = B ⊗ (W lam Wᵀ) + noise·I in output-major ordering
-    b = np.asarray(mo.coregion_matrix(p))
-    wlw = np.asarray(pre.w) * np.asarray(pre.lam) @ np.asarray(pre.w).T
-    dense_p = np.kron(b, wlw) + float(pre.noise) * np.eye(n * t)
+    dense_p = _dense_precond(pre, np.asarray(mo.coregion_matrix(p)), n)
     v = np.random.default_rng(4).normal(size=(n * t, 3))
     got = np.asarray(pre.apply(jnp.asarray(dense_p @ v)))
     np.testing.assert_allclose(got, v, rtol=1e-4, atol=1e-5)
@@ -107,15 +112,36 @@ def test_kron_preconditioner_is_exact_inverse():
     np.testing.assert_allclose(float(pre.logdet), want_ld, rtol=1e-5)
 
 
+def test_kron_preconditioner_splits_white_from_base_kernel():
+    # a White term in the BASE kernel must move to the per-rotated-column
+    # noise floor (λb·σ_w² + σ²), not eat the pivoted-Cholesky rank budget
+    p = _params(noise=0.1)
+    p = mo.IcmParams(kernel=gpx.se(1.3, 0.9) + gpx.white(0.3), w=p.w,
+                     kappa=p.kappa, noise=p.noise)
+    x, _ = _data(n=18)
+    n, t = 18, 3
+    pre = moi.kron_preconditioner(p, x, rank=18, nugget=0.0)
+    # full rank on the smooth part: P equals K exactly, so apply must
+    # invert the true operator B ⊗ (K_se + σ_w² I) + σ² I
+    kfull = np.asarray(mo.gram_full(p, x, nugget=0.0)) + 1e-8 * np.eye(n * t)
+    v = np.random.default_rng(5).normal(size=(n * t, 2))
+    got = np.asarray(pre.apply(jnp.asarray(kfull @ v)))
+    np.testing.assert_allclose(got, v, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(pre.logdet),
+                               np.linalg.slogdet(kfull)[1], rtol=1e-5)
+    with pytest.raises(ValueError, match="pure White"):
+        p_white = mo.IcmParams(kernel=gpx.white(0.3), w=p.w, kappa=p.kappa,
+                               noise=p.noise)
+        moi.kron_preconditioner(p_white, x, rank=4)
+
+
 def test_kron_preconditioner_sample_covariance():
     p = _params(noise=0.1)
     x, _ = _data(n=12)
     pre = moi.kron_preconditioner(p, x, rank=12, nugget=0.0)
     z = pre.sample(jax.random.PRNGKey(0), 4000)
     emp = np.asarray(z) @ np.asarray(z).T / z.shape[1]
-    b = np.asarray(mo.coregion_matrix(p))
-    wlw = np.asarray(pre.w) * np.asarray(pre.lam) @ np.asarray(pre.w).T
-    dense_p = np.kron(b, wlw) + float(pre.noise) * np.eye(36)
+    dense_p = _dense_precond(pre, np.asarray(mo.coregion_matrix(p)), 12)
     assert np.max(np.abs(emp - dense_p)) < 0.25 * np.max(np.abs(dense_p))
 
 
