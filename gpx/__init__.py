@@ -9,6 +9,7 @@ capability map this implements.
 
 from gpx import bijectors, distributions, kernels, means, params
 from gpx.kernels import (
+    Ard,
     Linear,
     Matern,
     Periodic,
@@ -17,6 +18,7 @@ from gpx.kernels import (
     SquaredExponential,
     Sum,
     White,
+    ard,
     linear,
     matern,
     periodic,
@@ -33,6 +35,7 @@ __all__ = [
     "kernels",
     "means",
     "params",
+    "Ard",
     "Linear",
     "Matern",
     "Periodic",
@@ -41,6 +44,7 @@ __all__ = [
     "SquaredExponential",
     "Sum",
     "White",
+    "ard",
     "linear",
     "matern",
     "periodic",

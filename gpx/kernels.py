@@ -302,6 +302,49 @@ class Linear(Kernel):
 
 
 @pytree_dataclass
+class Ard(Kernel):
+    """Automatic relevance determination: any distance-based kernel with
+    per-dimension lengthscales — ``k(x, x') = base(||(x - x') / ell||)``.
+    Beyond the reference's isotropic set (its locations are 1-D/2-D
+    points with one shared scale, KernelFunction.scala:13-25); standard in
+    GPflow/GPyTorch, and what type-II MLE uses to prune irrelevant input
+    dimensions (ell_d → large ⇒ dimension d drops out).
+
+    Uses the ``evaluate_xx`` interface (the weighted distance needs the
+    coordinates, not the shared isotropic ``r2``), so it runs the XLA Gram
+    paths, composes in Sum/Product, and its streamed matvec leg is the
+    row-blocked differentiable kernel. The base kernel's own lengthscale
+    is redundant under Ard — fix it at 1 by convention (it still composes
+    correctly if you don't; the product ``sigma·ell_d`` is just
+    unidentified). D > 8 inputs: the norms+matmul distance identity can
+    round coincident points away from exactly 0, so don't wrap White."""
+
+    base: Kernel
+    ell: jnp.ndarray     # (D,) per-dimension lengthscales
+
+    @property
+    def is_stationary(self) -> bool:
+        return False     # anisotropic: needs coordinates, not isotropic r2
+
+    def evaluate_r2(self, r2):
+        raise TypeError("Ard re-weights coordinates: no isotropic-r2 form")
+
+    def evaluate_xx(self, x1, x2, r2):
+        from gpx.ops.distance import sq_distances
+
+        s = 1.0 / self.ell
+        # symmetric call sites pass the same array twice: route through the
+        # one-argument form, which keeps the diagonal exactly zero (White
+        # semantics) at any D
+        r2w = (sq_distances(x1 * s) if x1 is x2
+               else sq_distances(x1 * s, x2 * s))
+        return self.base.evaluate_r2(jnp.maximum(r2w, 0.0))
+
+    def bijectors(self):
+        return Ard(base=self.base.bijectors(), ell=bij.positive)
+
+
+@pytree_dataclass
 class Sum(Kernel):
     """Sum combinator — reference semantics (KernelFunction.scala:47-55)."""
 
@@ -401,6 +444,11 @@ def white(sigma) -> White:
 
 def linear(v, c=0.0) -> Linear:
     return Linear(v=jnp.asarray(v), c=jnp.asarray(c))
+
+
+def ard(base: Kernel, ell) -> Ard:
+    """Wrap ``base`` with per-dimension lengthscales ``ell`` (length D)."""
+    return Ard(base=base, ell=jnp.asarray(ell))
 
 
 def rational_quadratic(h, alpha, l) -> RationalQuadratic:

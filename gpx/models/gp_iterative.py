@@ -103,14 +103,16 @@ def pivoted_cholesky(kernel, x, rank: int, *, method: str = "auto"):
     n = x.shape[0]
     leaves = jax.tree_util.tree_leaves(kernel)
     dtype = jnp.result_type(x.dtype, *(l.dtype for l in leaves))
-    diag = kernel.variance(n, dtype=dtype)
+    diag = kernel.diag(x, dtype=dtype)
 
     def column(pivot_idx):
         xp = lax.dynamic_slice_in_dim(x, pivot_idx, 1, 0)   # (1, D)
-        r2 = sq_distances(x, xp)[:, 0]
+        r2 = sq_distances(x, xp)
         # exact-zero self-distance so White contributes at the pivot
-        r2 = r2.at[pivot_idx].set(0.0)
-        return kernel.evaluate_r2(r2)
+        r2 = r2.at[pivot_idx, 0].set(0.0)
+        # evaluate_xx, not evaluate_r2: anisotropic (Ard) and
+        # non-stationary (Linear) kernels need the coordinates
+        return kernel.evaluate_xx(x, xp, r2)[:, 0]
 
     floor = 1e-7 * jnp.max(diag)  # stop once the residual trace is exhausted
 

@@ -291,3 +291,98 @@ def test_besselk_custom_jvp_matches_finite_differences():
             - jax.vmap(lambda t: kv(nu, t))(x - eps)
         ) / (2 * eps)
         np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-6)
+
+
+def test_ard_matches_manually_scaled_isotropic(rng):
+    # ARD SE on x must equal isotropic SE on x/ell, for uneven ell
+    ell = np.array([0.5, 2.0, 4.0])
+    k_ard = kernels.ard(se(1.3, 1.0), ell)
+    assert not k_ard.is_stationary
+    x = jnp.asarray(rng.normal(size=(14, 3)))
+    got = gram(k_ard, x)
+    want = gram(se(1.3, 1.0), x / ell[None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+    # cross-gram too
+    x2 = jnp.asarray(rng.normal(size=(6, 3)))
+    np.testing.assert_allclose(
+        np.asarray(cross_gram(k_ard, x, x2)),
+        np.asarray(cross_gram(se(1.3, 1.0), x / ell[None, :],
+                              x2 / ell[None, :])),
+        atol=1e-12,
+    )
+    # Matern base works through the same wrapper
+    got_m = gram(kernels.ard(matern(1.0, 2.5, 1.0), ell), x)
+    want_m = gram(matern(1.0, 2.5, 1.0), x / ell[None, :])
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               atol=1e-12)
+
+
+def test_ard_white_diag_and_composition(rng):
+    # symmetric route keeps the exact-zero diagonal: White inside Ard
+    # still fires exactly on the diagonal
+    ell = np.array([0.7, 1.5])
+    k = kernels.ard(se(1.0, 1.0) + white(0.25), ell)
+    x = jnp.asarray(rng.normal(size=(10, 2)))
+    K = np.asarray(gram(k, x))
+    off = K - np.diag(np.diag(K))
+    assert np.all(np.diag(K) >= 1.0 + 0.25 - 1e-9)
+    assert np.all(np.abs(off) < 1.0 + 1e-9)
+    # composes in Sum with a top-level White
+    K2 = np.asarray(gram(k + white(0.1), x))
+    np.testing.assert_allclose(np.diag(K2), np.diag(K) + 0.1, atol=1e-10)
+
+
+def test_ard_logml_gradient_and_relevance(rng):
+    import jax
+    from gpx import Parameters, zero
+    from gpx.models import gp as gpmod
+
+    # dim 1 is irrelevant: y depends on x[:, 0] only
+    x = jnp.asarray(rng.uniform(-2.0, 2.0, size=(48, 2)))
+    y = jnp.sin(1.5 * x[:, 0]) + 0.05 * jnp.asarray(rng.normal(size=48))
+    template = Parameters(
+        mean=zero(),
+        kernel=kernels.ard(se(1.0, 1.0), jnp.asarray([1.0, 1.0]))
+        + white(0.1),
+    )
+    val, grads = jax.value_and_grad(
+        lambda p: gpmod.log_marginal_likelihood(p, x, y)
+    )(template)
+    g_ell = np.asarray(grads.kernel.kernels[0].ell)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(g_ell)) and np.all(g_ell != 0.0)
+
+    from gpx.models.optimize import optimize
+
+    res = optimize(template, x, y, steps=60)
+    ell_fit = np.asarray(res.params.kernel.kernels[0].ell)
+    # type-II MLE prunes the irrelevant dimension: ell[1] >> ell[0]
+    assert ell_fit[1] > 3.0 * ell_fit[0]
+
+
+def test_ard_pivoted_cholesky_and_iterative(rng):
+    import jax
+    from gpx.models import gp_iterative as gi
+
+    ell = np.array([0.6, 1.8])
+    k = kernels.ard(se(1.2, 1.0), ell)
+    x = jnp.asarray(rng.normal(size=(24, 2)))
+    # full-rank pivoted Cholesky reconstructs the (noise-free) Gram —
+    # exercises the evaluate_xx column path
+    l_r = gi.pivoted_cholesky(k, x, rank=24)
+    np.testing.assert_allclose(np.asarray(l_r @ l_r.T),
+                               np.asarray(gram(k, x)), atol=1e-6)
+    # iterative logML (preconditioned) against the dense value
+    y = jnp.asarray(rng.normal(size=24))
+    from gpx import Parameters, zero
+    from gpx.models import gp as gpmod
+
+    p = Parameters(mean=zero(), kernel=k + white(0.3))
+    res = gi.logml_value_and_grad_iterative(
+        p, x, y, jax.random.PRNGKey(0), n_probes=64, lanczos_iters=24,
+        cg_tol=1e-9, precond_rank=16,
+    )
+    want = float(gpmod.log_marginal_likelihood(p, x, y))
+    np.testing.assert_allclose(float(res.value), want, rtol=0.05, atol=2.0)
+    leaves = jax.tree_util.tree_leaves(res.grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
