@@ -405,6 +405,23 @@ class Product(Kernel):
         return Product(tuple(k.bijectors() for k in self.kernels))
 
 
+def unwrap_ard(kernel, x, x2=None):
+    """Peel top-level :class:`Ard` wrappers by scaling the coordinates:
+    ``K_ard(x, x') = K_base(x/ell, x'/ell)`` exactly. Gram/matvec entry
+    points call this first so an ARD-wrapped stationary kernel rides the
+    fused Pallas distance-tile paths (which gate on ``is_stationary``)
+    instead of falling back to the dense XLA route — the scaling is one
+    O(N·D) multiply. Returns ``(kernel, x, x2)`` unchanged when the top
+    level is not Ard."""
+    while isinstance(kernel, Ard):
+        s = 1.0 / kernel.ell
+        x = x * s
+        if x2 is not None:
+            x2 = x2 * s
+        kernel = kernel.base
+    return kernel, x, x2
+
+
 def split_noise(kernel):
     """Split a kernel into ``(smooth_part, noise_variance)`` where the noise
     is the sum of top-level White terms — the additive diagonal that

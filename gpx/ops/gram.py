@@ -29,7 +29,14 @@ def gram(kernel, x, x2=None, *, nugget: float = 0.0, method: str = "auto"):
     regularization (1e-3 at GaussianProcess.scala:71,117; 1e-6 at
     Predict.scala:67).
     """
+    from gpx.kernels import unwrap_ard
+
     x = as_locations(x)
+    if x2 is not None:
+        x2 = as_locations(x2)
+    # ARD = isotropic base on scaled coordinates: peel the wrapper so the
+    # Pallas fast paths (stationary-only) stay reachable
+    kernel, x, x2 = unwrap_ard(kernel, x, x2)
     if method == "auto":
         method = _auto_method(kernel, x, x2)
     if method == "pallas":
@@ -49,7 +56,7 @@ def gram(kernel, x, x2=None, *, nugget: float = 0.0, method: str = "auto"):
     if method != "xla":
         raise ValueError(f"unknown gram method: {method}")
     r2 = sq_distances(x, x2)
-    k = kernel.evaluate_xx(x, x if x2 is None else as_locations(x2), r2)
+    k = kernel.evaluate_xx(x, x if x2 is None else x2, r2)
     if x2 is None and nugget:
         k = k + nugget * jnp.eye(k.shape[-1], dtype=k.dtype)
     return k

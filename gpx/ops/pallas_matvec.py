@@ -76,7 +76,11 @@ def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
     ``v``: (N,) or (N, R). N must be a multiple of ``bt`` for the Pallas
     path; otherwise (and off-TPU) an XLA row-blocked fallback runs.
     """
+    from gpx.kernels import unwrap_ard
+
     x = as_locations(x)
+    # ARD rides the Pallas tile path as its isotropic base on scaled coords
+    kernel, x, _ = unwrap_ard(kernel, x)
     # translation-invariant centering for f32 distance accuracy
     # (see gpx.ops.distance.sq_distances)
     x = x - jax.lax.stop_gradient(jnp.mean(x, axis=0, keepdims=True))
@@ -175,8 +179,11 @@ def cross_matvec(kernel, x1, x2, v, *, bt: int = _BT,
     distinct location sets the diagonal is not special (duplicate points
     across sets still get White's r == 0 contribution via exact zeros for
     D <= 8, as in the dense cross gram)."""
+    from gpx.kernels import unwrap_ard
+
     x1 = as_locations(x1)
     x2 = as_locations(x2)
+    kernel, x1, x2 = unwrap_ard(kernel, x1, x2)
     center = jax.lax.stop_gradient(jnp.mean(x2, axis=0, keepdims=True))
     x1 = x1 - center
     x2 = x2 - center

@@ -41,7 +41,11 @@ def distributed_gram_matvec(kernel, x, mesh: Mesh, *, axis: str = "data",
     range sharded over ``mesh[axis]``; ``v`` is (N,) or (N, R), replicated
     in and out. ``method="xla"`` forces the differentiable row-blocked
     path (use for contractions that ``jax.grad`` through the matvec)."""
+    from gpx.kernels import unwrap_ard
+
     x = as_locations(x)
+    # ARD = isotropic base on scaled coords (keeps the Pallas row kernels)
+    kernel, x, _ = unwrap_ard(kernel, x)
     n = x.shape[0]
     d = mesh.shape[axis]
     if n % d:
