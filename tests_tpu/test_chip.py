@@ -209,3 +209,50 @@ def test_multioutput_kron_path_on_chip(rng):
     assert m_err < 5e-2, m_err
     assert v_err < 5e-2, v_err
     assert bool((sk.variance > 0).all())
+
+
+def test_ard_rides_pallas_gram_on_chip(rng):
+    """ARD unwrap keeps the fused tile path: gram(ard(k), x) must equal the
+    compiled Pallas gram of the base kernel on scaled coordinates, and the
+    streamed matvec must agree with the dense product."""
+    import gpx
+    from gpx.ops.gram import gram as gram_op
+    from gpx.ops.pallas_matvec import gram_matvec
+
+    ell = jnp.asarray([0.5, 2.0], jnp.float32)
+    k = gpx.ard(gpx.se(1.2, 1.0) + gpx.white(0.3), ell)
+    x = jnp.asarray(rng.uniform(-5, 5, size=(N, 2)), jnp.float32)
+    k_ard = gram_op(k, x, nugget=1e-3, method="pallas")
+    k_base = gram_op(gpx.se(1.2, 1.0) + gpx.white(0.3), x / ell[None, :],
+                     nugget=1e-3, method="pallas")
+    assert jnp.array_equal(k_ard, k_base), (
+        float(jnp.abs(k_ard - k_base).max())
+    )
+    v = jnp.asarray(rng.normal(size=N), jnp.float32)
+    got = gram_matvec(k, x, v, nugget=0.0)
+    want = k_ard @ v - 1e-3 * v
+    rel = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+    assert rel < 1e-3, rel
+
+
+def test_multioutput_streamed_matvec_on_chip(rng):
+    """The streamed Kronecker matvec (Pallas Gram tiles per term) against
+    the dense (NT) operator in compiled mode."""
+    import gpx
+    from gpx.models import multioutput as mo
+    from gpx.models import multioutput_iterative as moi
+
+    t = 3
+    p = mo.IcmParams(
+        kernel=gpx.se(1.3, 0.9),
+        w=jnp.asarray(rng.normal(size=(t, 2)) * 0.6, jnp.float32),
+        kappa=jnp.full((t,), 0.3, jnp.float32),
+        noise=jnp.asarray(0.05, jnp.float32),
+    )
+    x = jnp.asarray(rng.uniform(-3, 3, size=(1024, 1)), jnp.float32)
+    kfull = mo.gram_full(p, x, nugget=1e-6)
+    v = jnp.asarray(rng.normal(size=(1024 * t, 4)), jnp.float32)
+    got = moi.kron_matvec(p, x, nugget=1e-6)(v)
+    want = kfull @ v
+    rel = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+    assert rel < 1e-3, rel
