@@ -7,6 +7,7 @@ from gpx.models import (
     dlmgp,
     gp,
     gp_iterative,
+    gridgp,
     multioutput,
     multioutput_iterative,
     optimize,
@@ -15,6 +16,7 @@ from gpx.models import (
 )
 
 __all__ = [
-    "classify", "dlm", "dlmgp", "gp", "gp_iterative", "multioutput",
+    "classify", "dlm", "dlmgp", "gp", "gp_iterative", "gridgp",
+    "multioutput",
     "multioutput_iterative", "optimize", "sparse", "svgp",
 ]

@@ -1,0 +1,191 @@
+"""Grid-structured (separable-kernel Kronecker) GPs vs the dense oracle.
+
+The dense construction ``K = ⊗_i K_i + σ²I`` over the materialized
+Cartesian product is the ground truth for every Kronecker-eigen quantity.
+"""
+
+from functools import reduce
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpx
+from gpx.models import gridgp
+
+
+def _params(noise=0.1):
+    return gridgp.grid(
+        [gpx.se(1.4, 0.8), gpx.matern(1.0, 1.5, 2.0)], noise=noise
+    )
+
+
+def _axes(n1=6, n2=5, seed=0):
+    rng = np.random.default_rng(seed)
+    a1 = jnp.asarray(np.sort(rng.uniform(-3, 3, n1))[:, None])
+    a2 = jnp.asarray(rng.uniform(-2, 2, size=(n2, 2)))
+    return [a1, a2]
+
+
+def _dense(p, axes, nugget=0.0):
+    grams = [np.asarray(k.gram(a)) for k, a in zip(p.kernels, axes)]
+    K = reduce(np.kron, grams)
+    return K + (float(p.noise) + nugget) * np.eye(K.shape[0])
+
+
+def _y(shape, seed=1):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape))
+
+
+def test_grid_coords_order_matches_kron():
+    # the materialized product kernel on grid_coords must equal the
+    # Kronecker of the per-axis grams — pins the C-order convention
+    p = _params()
+    axes = _axes(4, 3)
+    coords = np.asarray(gridgp.grid_coords(axes))
+    assert coords.shape == (12, 3)
+    k1 = np.asarray(p.kernels[0].gram(coords[:, :1]))
+    k2 = np.asarray(p.kernels[1].gram(coords[:, 1:]))
+    np.testing.assert_allclose(
+        k1 * k2, _dense(p, axes) - float(p.noise) * np.eye(12), atol=1e-10
+    )
+
+
+@pytest.mark.parametrize("three_axes", [False, True])
+def test_logml_matches_dense(three_axes):
+    p = _params()
+    axes = _axes()
+    if three_axes:
+        p = gridgp.grid(list(p.kernels) + [gpx.se(1.0, 1.5)], noise=0.1)
+        axes = axes + [jnp.linspace(-1.0, 1.0, 4)[:, None]]
+    shape = gridgp.grid_shape(axes)
+    y = _y(shape)
+    nug = 1e-6
+    got = float(gridgp.log_marginal_likelihood(p, axes, y, nugget=nug))
+    K = _dense(p, axes, nug)
+    yv = np.asarray(y).reshape(-1)
+    n = K.shape[0]
+    want = -0.5 * (yv @ np.linalg.solve(K, yv)
+                   + np.linalg.slogdet(K)[1] + n * np.log(2 * np.pi))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    # flat C-order input gives the identical value
+    got_flat = float(gridgp.log_marginal_likelihood(
+        p, axes, y.reshape(-1), nugget=nug
+    ))
+    np.testing.assert_allclose(got_flat, got, rtol=1e-12)
+
+
+def test_fit_matches_dense():
+    p = _params()
+    axes = _axes()
+    shape = gridgp.grid_shape(axes)
+    y = _y(shape)
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(rng.uniform(-2, 2, size=(9, 3)))
+    s = gridgp.fit(p, axes, y, xs, nugget=1e-6)
+
+    K = _dense(p, axes, 1e-6)
+    c1 = np.asarray(p.kernels[0].gram(xs[:, :1], axes[0]))   # (M, n1)
+    c2 = np.asarray(p.kernels[1].gram(xs[:, 1:], axes[1]))   # (M, n2)
+    cross = np.einsum("mi,mj->mij", c1, c2).reshape(9, -1)   # (M, N)
+    alpha = np.linalg.solve(K, np.asarray(y).reshape(-1))
+    np.testing.assert_allclose(np.asarray(s.mean), cross @ alpha, rtol=1e-6,
+                               atol=1e-8)
+    prior = np.asarray(p.kernels[0].diag(xs[:, :1])) * np.asarray(
+        p.kernels[1].diag(xs[:, 1:])
+    )
+    red = np.einsum("mn,nk,mk->m", cross, np.linalg.inv(K), cross)
+    want_var = np.maximum(prior - red, 0.0) + float(p.noise)
+    np.testing.assert_allclose(np.asarray(s.variance), want_var, rtol=1e-5,
+                               atol=1e-8)
+
+
+def test_fit_interpolates_at_grid_points():
+    # near-zero noise: the posterior mean at the lattice points is Y
+    p = _params(noise=1e-6)
+    axes = _axes(5, 4)
+    y = gridgp.draw(jax.random.PRNGKey(0), p, axes, include_noise=False)
+    xs = gridgp.grid_coords(axes)
+    s = gridgp.fit(p, axes, y, xs, nugget=1e-8)
+    np.testing.assert_allclose(np.asarray(s.mean),
+                               np.asarray(y).reshape(-1), atol=1e-3)
+
+
+def test_draw_covariance_matches_kron():
+    p = _params(noise=0.05)
+    axes = _axes(4, 3)
+    draws = gridgp.draw(jax.random.PRNGKey(1), p, axes, shape=(6000,))
+    flat = np.asarray(draws).reshape(6000, -1)
+    emp = flat.T @ flat / flat.shape[0]
+    want = _dense(p, axes)
+    assert np.max(np.abs(emp - want)) < 0.25 * np.max(np.abs(want))
+
+
+def test_kron_matvec_matches_dense():
+    p = _params()
+    axes = _axes()
+    K = _dense(p, axes, 1e-5)
+    mv = gridgp.kron_matvec(p, axes, nugget=1e-5)
+    v = _y(gridgp.grid_shape(axes), seed=7)
+    got = np.asarray(mv(v)).reshape(-1)
+    np.testing.assert_allclose(got, K @ np.asarray(v).reshape(-1),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_masked_fit_matches_dense_subblock():
+    p = _params()
+    axes = _axes()
+    shape = gridgp.grid_shape(axes)
+    y = _y(shape)
+    rng = np.random.default_rng(5)
+    mask = rng.uniform(size=shape) > 0.3          # ~70% observed
+    xs = jnp.asarray(rng.uniform(-2, 2, size=(7, 3)))
+    s = gridgp.fit(p, axes, y, xs, nugget=1e-6, mask=jnp.asarray(mask),
+                   cg_tol=1e-10)
+
+    K = _dense(p, axes, 1e-6)
+    obs = mask.reshape(-1)
+    yv = np.asarray(y).reshape(-1)[obs]
+    c1 = np.asarray(p.kernels[0].gram(xs[:, :1], axes[0]))
+    c2 = np.asarray(p.kernels[1].gram(xs[:, 1:], axes[1]))
+    cross = np.einsum("mi,mj->mij", c1, c2).reshape(7, -1)[:, obs]
+    want = cross @ np.linalg.solve(K[np.ix_(obs, obs)], yv)
+    np.testing.assert_allclose(np.asarray(s.mean), want, rtol=1e-5,
+                               atol=1e-7)
+    assert s.variance.size == 0
+
+
+def test_optimize_recovers_and_sample_mh_runs():
+    truth = gridgp.grid([gpx.se(1.5, 0.7), gpx.se(1.0, 2.0)], noise=0.05)
+    axes = _axes(10, 8, seed=9)
+    y = gridgp.draw(jax.random.PRNGKey(2), truth, axes)
+    start = gridgp.grid([gpx.se(0.8, 1.5), gpx.se(1.0, 1.0)], noise=0.3)
+    before = float(gridgp.log_marginal_likelihood(start, axes, y))
+    res = gridgp.optimize(start, axes, y, steps=40)
+    after = float(gridgp.log_marginal_likelihood(res.params, axes, y))
+    assert after > before + 1.0
+    assert float(res.params.noise) < 0.25
+
+    from gpx.distributions import Gamma
+
+    def log_prior(p):
+        g = Gamma(concentration=jnp.asarray(2.0), rate=jnp.asarray(2.0))
+        return sum(g.logpdf(leaf) for leaf in
+                   jax.tree_util.tree_leaves(p))
+
+    post = gridgp.sample_mh(jax.random.PRNGKey(3), axes, y, start,
+                            log_prior, n_samples=40, n_chains=2,
+                            burn_in=20, proposal_scale=0.05)
+    assert bool(jnp.isfinite(post.flat).all())
+
+
+def test_shape_validation():
+    p = _params()
+    axes = _axes()
+    with pytest.raises(ValueError, match="grid shape"):
+        gridgp.log_marginal_likelihood(p, axes, jnp.zeros((4, 4)))
+    with pytest.raises(ValueError, match="grid axes"):
+        gridgp.log_marginal_likelihood(p, [axes[0]], jnp.zeros((6,)))
+    with pytest.raises(ValueError, match="concatenate"):
+        gridgp.fit(p, axes, jnp.zeros((6, 5)), jnp.zeros((3, 7)))
