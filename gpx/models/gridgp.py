@@ -71,6 +71,67 @@ def grid(kernels, noise: float = 0.1) -> GridParams:
                       noise=jnp.asarray(noise, jnp.result_type(float)))
 
 
+@pytree_dataclass
+class CoregionAxis:
+    """Pseudo-kernel for an OUTPUT axis of a grid model: its "gram" is the
+    coregionalization matrix ``B = W Wᵀ + diag(κ)`` and its coordinates
+    are output indices (T, 1). Dropping this in as one of
+    :class:`GridParams`' kernels composes the two Kronecker structures —
+    multi-output GPs over a lattice, ``B ⊗ K_time ⊗ K_space + σ²I`` —
+    which neither `gpx.models.multioutput` (one unstructured input set)
+    nor a plain separable grid expresses. ``W``/``κ`` are inferable leaves
+    exactly as in `multioutput.IcmParams`."""
+
+    w: jnp.ndarray       # (T, R) factor loadings
+    kappa: jnp.ndarray   # (T,) diagonal boost
+
+    @property
+    def n_outputs(self) -> int:
+        return self.w.shape[0]
+
+    def _b(self, dtype=None):
+        b = jnp.matmul(self.w, self.w.T, precision=HI) + jnp.diag(self.kappa)
+        return b if dtype is None else b.astype(dtype)
+
+    def gram(self, a, a2=None, *, nugget: float = 0.0, method: str = "auto"):
+        b = self._b()
+        i1 = jnp.asarray(a).reshape(-1).astype(jnp.int32)
+        if a2 is None:
+            out = b[jnp.ix_(i1, i1)]
+            if nugget:
+                out = out + nugget * jnp.eye(out.shape[0], dtype=out.dtype)
+            return out
+        i2 = jnp.asarray(a2).reshape(-1).astype(jnp.int32)
+        return b[jnp.ix_(i1, i2)]
+
+    def diag(self, x, dtype=None):
+        i = jnp.asarray(x).reshape(-1).astype(jnp.int32)
+        d = jnp.diagonal(self._b(dtype))
+        return d[i]
+
+    def bijectors(self) -> "CoregionAxis":
+        return CoregionAxis(w=bij.identity, kappa=bij.positive)
+
+
+def coregion_axis(n_outputs: int, rank: int = 1, *, w=None,
+                  kappa=0.2) -> CoregionAxis:
+    """Constructor mirroring ``multioutput.icm``'s staggered default ``W``
+    (an exactly symmetric init puts the eigh VJP at a repeated-eigenvalue
+    point — same rationale, multioutput.py)."""
+    if w is None:
+        ramp = 1.0 + 0.05 * jnp.arange(n_outputs)[:, None]
+        w = ramp * jnp.full((n_outputs, rank), 1.0 / math.sqrt(rank))
+    w = jnp.asarray(w, jnp.result_type(float))
+    kappa = jnp.broadcast_to(jnp.asarray(kappa, w.dtype), (n_outputs,))
+    return CoregionAxis(w=w, kappa=kappa)
+
+
+def output_axis(n_outputs: int):
+    """The grid-axis coordinates for a :class:`CoregionAxis`: output
+    indices ``(T, 1)``."""
+    return jnp.arange(n_outputs, dtype=jnp.result_type(float))[:, None]
+
+
 def _check_axes(p: GridParams, axes):
     axes = [as_locations(a) for a in axes]
     if len(axes) != p.n_axes:

@@ -189,3 +189,84 @@ def test_shape_validation():
         gridgp.log_marginal_likelihood(p, [axes[0]], jnp.zeros((6,)))
     with pytest.raises(ValueError, match="concatenate"):
         gridgp.fit(p, axes, jnp.zeros((6, 5)), jnp.zeros((3, 7)))
+
+
+def test_coregion_axis_matches_multioutput_icm():
+    # grid([k_time, coregion]) over [x, output indices] IS the ICM:
+    # same logML (orderings are permutations — the quadratic form and
+    # logdet are invariant) and same posterior mean at matched points
+    from gpx.models import multioutput as mo
+
+    t, n = 3, 14
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.normal(size=(t, 2)) * 0.6)
+    kappa = jnp.asarray(np.full(t, 0.3))
+    kern = gpx.se(1.3, 0.9)
+    icm = mo.IcmParams(kernel=kern, w=w, kappa=kappa,
+                       noise=jnp.asarray(0.1))
+    gp_grid = gridgp.GridParams(
+        kernels=(kern, gridgp.CoregionAxis(w=w, kappa=kappa)),
+        noise=jnp.asarray(0.1),
+    )
+    x = jnp.asarray(rng.uniform(-3, 3, size=(n, 1)))
+    y = jnp.asarray(rng.normal(size=(n, t)))
+    axes = [x, gridgp.output_axis(t)]
+
+    got = float(gridgp.log_marginal_likelihood(gp_grid, axes, y,
+                                               nugget=1e-8))
+    # oracle: dense (NT) Gaussian over the matched ordering
+    K = _dense(gp_grid, axes, 1e-8)
+    yv = np.asarray(y).reshape(-1)
+    want_dense = -0.5 * (yv @ np.linalg.solve(K, yv)
+                         + np.linalg.slogdet(K)[1]
+                         + K.shape[0] * np.log(2 * np.pi))
+    np.testing.assert_allclose(got, want_dense, rtol=1e-8)
+    # and equals the multioutput module's value (nugget enters mo through
+    # the base-kernel gram, i.e. scaled by B's diagonal — use a nugget
+    # small enough to be irrelevant)
+    want_mo = float(mo.log_marginal_likelihood(icm, x, y, nugget=1e-8))
+    np.testing.assert_allclose(got, want_mo, rtol=1e-6)
+
+    # posterior mean at (new time, every output) matches mo.fit
+    xs_t = jnp.asarray([[0.37]])
+    xs = jnp.concatenate(
+        [jnp.tile(xs_t, (t, 1)), gridgp.output_axis(t)], axis=1
+    )
+    s = gridgp.fit(gp_grid, axes, y, xs, nugget=1e-8)
+    s_mo = mo.fit(icm, x, y, xs_t, nugget=1e-8)
+    np.testing.assert_allclose(np.asarray(s.mean),
+                               np.asarray(s_mo.mean)[0], rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s.variance),
+                               np.asarray(s_mo.variance)[0], rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_coregion_axis_spatiotemporal_multioutput():
+    # the composition neither module has alone: B ⊗ K_time ⊗ K_space
+    t = 2
+    p = gridgp.GridParams(
+        kernels=(gpx.se(1.0, 1.0), gpx.matern(1.0, 1.5, 1.5),
+                 gridgp.coregion_axis(t, rank=1)),
+        noise=jnp.asarray(0.05),
+    )
+    rng = np.random.default_rng(13)
+    axes = [
+        jnp.linspace(0.0, 4.0, 6)[:, None],
+        jnp.asarray(rng.uniform(-1, 1, size=(5, 2))),
+        gridgp.output_axis(t),
+    ]
+    y = gridgp.draw(jax.random.PRNGKey(4), p, axes)
+    assert y.shape == (6, 5, t)
+    got = float(gridgp.log_marginal_likelihood(p, axes, y, nugget=1e-8))
+    K = _dense(p, axes, 1e-8)
+    yv = np.asarray(y).reshape(-1)
+    want = -0.5 * (yv @ np.linalg.solve(K, yv) + np.linalg.slogdet(K)[1]
+                   + K.shape[0] * np.log(2 * np.pi))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    # W and kappa receive gradients through the grid logML
+    g = jax.grad(lambda pp: gridgp.log_marginal_likelihood(
+        pp, axes, y, nugget=1e-8
+    ))(p)
+    gw = np.asarray(g.kernels[2].w)
+    assert np.all(np.isfinite(gw)) and np.any(gw != 0.0)
