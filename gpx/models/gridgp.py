@@ -163,10 +163,23 @@ def _axis_contract(m, t, axis):
     return jnp.moveaxis(out, 0, axis)
 
 
-def _rotate(t, mats):
+def _shard0(t, mesh, mesh_axis):
+    """Constrain a grid tensor's leading axis over ``mesh[mesh_axis]`` —
+    contractions along other axes are then device-local, and the axis-0
+    rotation is one GSPMD-sharded matmul (partial products + reduce)."""
+    if mesh is None:
+        return t
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(mesh_axis, *([None] * (t.ndim - 1)))
+    return jax.lax.with_sharding_constraint(t, NamedSharding(mesh, spec))
+
+
+def _rotate(t, mats, mesh=None, mesh_axis: str = "data"):
     """``(⊗_i M_i) vec(t)`` as a chain of per-axis contractions."""
+    t = _shard0(t, mesh, mesh_axis)
     for i, m in enumerate(mats):
-        t = _axis_contract(m, t, i)
+        t = _shard0(_axis_contract(m, t, i), mesh, mesh_axis)
     return t
 
 
@@ -198,17 +211,23 @@ def _check_y(Y, shape):
 
 
 def log_marginal_likelihood(p: GridParams, axes, Y, *,
-                            nugget: float = gp.LOGML_NUGGET):
+                            nugget: float = gp.LOGML_NUGGET,
+                            mesh=None, mesh_axis: str = "data"):
     """Exact ``log N(vec Y | 0, ⊗_i K_i + (noise + nugget) I)`` — the
     Kronecker eigen-identity form of GaussianProcess.scala:109-125. ``Y``
-    is the observation tensor in grid shape (or flat, C order)."""
+    is the observation tensor in grid shape (or flat, C order).
+
+    ``mesh=`` shards the lattice tensor's LEADING axis over
+    ``mesh[mesh_axis]`` (n_1 must divide by the axis size; put the long
+    axis first): rotations along the other axes are device-local and the
+    axis-0 rotation is one sharded matmul — multi-chip exact grid GPs."""
     axes = _check_axes(p, axes)
     shape = tuple(a.shape[0] for a in axes)
     Y = _check_y(Y, shape)
     qs, _, s = _eigs(p, axes, nugget)
-    yt = _rotate(Y, [q.T for q in qs])
+    yt = _rotate(Y, [q.T for q in qs], mesh, mesh_axis)
     n = math.prod(shape)
-    quad = jnp.sum(yt * yt / s)
+    quad = jnp.sum(yt * yt / _shard0(s, mesh, mesh_axis))
     logdet = jnp.sum(jnp.log(s))
     return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
@@ -261,7 +280,7 @@ def _mean_chain(mats, t):
 
 def fit(p: GridParams, axes, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
         variance: bool = True, mask=None, cg_tol: float = 1e-6,
-        cg_max_iters: int = 1000):
+        cg_max_iters: int = 1000, mesh=None, mesh_axis: str = "data"):
     """Posterior at arbitrary test locations ``xs`` (M, ΣD_i) — GPML
     Alg 2.1 through the Kronecker eigen-identity (the grid form of
     Predict.fit, Predict.scala:57-94). Returned variance includes the
@@ -287,8 +306,8 @@ def fit(p: GridParams, axes, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
         )
 
     qs, _, s = _eigs(p, axes, nugget)
-    yt = _rotate(Y, [q.T for q in qs])
-    alpha = _rotate(yt / s, qs)                         # K⁻¹ vec Y, tensor
+    yt = _rotate(Y, [q.T for q in qs], mesh, mesh_axis)
+    alpha = _rotate(yt / s, qs, mesh, mesh_axis)        # K⁻¹ vec Y, tensor
     mean = _mean_chain(cross, alpha)
 
     if not variance:
@@ -299,7 +318,7 @@ def fit(p: GridParams, axes, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
     # so the variance reduction is the same chain on elementwise squares
     a_sq = [jnp.square(jnp.matmul(c, q, precision=HI))
             for c, q in zip(cross, qs)]
-    red = _mean_chain(a_sq, 1.0 / s)
+    red = _mean_chain(a_sq, 1.0 / _shard0(s, mesh, mesh_axis))
     prior = reduce(
         lambda acc, pair: acc * pair[0].diag(pair[1], dtype=mean.dtype),
         zip(p.kernels, xs_blocks), jnp.ones_like(mean),

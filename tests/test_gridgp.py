@@ -270,3 +270,39 @@ def test_coregion_axis_spatiotemporal_multioutput():
     ))(p)
     gw = np.asarray(g.kernels[2].w)
     assert np.all(np.isfinite(gw)) and np.any(gw != 0.0)
+
+
+def test_mesh_logml_and_fit_match_local():
+    mesh = jax.make_mesh(
+        (8,), ("data",), axis_types=(jax.sharding.AxisType.Auto,)
+    )
+    p = _params()
+    axes = [jnp.linspace(-3.0, 3.0, 16)[:, None],   # leading axis: 16 % 8
+            _axes()[1]]
+    y = _y((16, 5), seed=21)
+
+    loc = float(gridgp.log_marginal_likelihood(p, axes, y, nugget=1e-6))
+    dst = jax.jit(
+        lambda pp, yy: gridgp.log_marginal_likelihood(
+            pp, axes, yy, nugget=1e-6, mesh=mesh
+        )
+    )(p, y)
+    np.testing.assert_allclose(float(dst), loc, rtol=1e-10)
+
+    g_loc = jax.grad(lambda pp: gridgp.log_marginal_likelihood(
+        pp, axes, y, nugget=1e-6))(p)
+    g_dst = jax.jit(jax.grad(lambda pp: gridgp.log_marginal_likelihood(
+        pp, axes, y, nugget=1e-6, mesh=mesh)))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dst),
+                    jax.tree_util.tree_leaves(g_loc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
+
+    xs = jnp.asarray(np.random.default_rng(22).uniform(-2, 2, size=(6, 3)))
+    s_loc = gridgp.fit(p, axes, y, xs)
+    s_dst = jax.jit(lambda pp, yy: gridgp.fit(pp, axes, yy, xs, mesh=mesh))(
+        p, y
+    )
+    np.testing.assert_allclose(np.asarray(s_dst.mean),
+                               np.asarray(s_loc.mean), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s_dst.variance),
+                               np.asarray(s_loc.variance), rtol=1e-8)
