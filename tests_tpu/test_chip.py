@@ -256,3 +256,46 @@ def test_multioutput_streamed_matvec_on_chip(rng):
     want = kfull @ v
     rel = float(jnp.abs(got - want).max() / jnp.abs(want).max())
     assert rel < 1e-3, rel
+
+
+def test_gridgp_kron_identity_on_chip(rng):
+    """Grid (separable-kernel Kronecker) logML/fit vs the dense oracle in
+    compiled mode — the per-axis eigh runs HIGHEST (bf16 Householder
+    default would break the identity), same guard as the multioutput
+    kron test, on a 512 x 8 lattice."""
+    import gpx
+    from gpx.models import gridgp
+
+    p = gridgp.grid(
+        [gpx.se(1.4, 0.8), gpx.matern(1.0, 1.5, 2.0)], noise=0.1
+    )
+    axes = [
+        jnp.asarray(np.sort(rng.uniform(-3, 3, 512))[:, None], jnp.float32),
+        jnp.asarray(rng.uniform(-2, 2, size=(8, 2)), jnp.float32),
+    ]
+    y = jnp.asarray(rng.normal(size=(512, 8)), jnp.float32)
+
+    got = float(gridgp.log_marginal_likelihood(p, axes, y, nugget=1e-5))
+    # dense oracle through gpx's own dense path on the materialized grid:
+    # product kernel over the concatenated coordinates
+    coords = gridgp.grid_coords(axes)
+    k1 = p.kernels[0].gram(coords[:, :1])
+    k2 = p.kernels[1].gram(coords[:, 1:])
+    kfull = k1 * k2 + (float(p.noise) + 1e-5) * jnp.eye(4096,
+                                                        dtype=jnp.float32)
+    from gpx.ops import chol
+
+    l = chol.cholesky(kfull)
+    u = chol.forward_solve(l, y.reshape(-1))
+    want = float(
+        -0.5 * (u @ u) - jnp.sum(jnp.log(jnp.diagonal(l)))
+        - 0.5 * 4096 * jnp.log(2.0 * jnp.pi)
+    )
+    assert abs(got - want) / abs(want) < 1e-3, (got, want)
+
+    xs = jnp.concatenate(
+        [jnp.full((8, 1), 0.37, jnp.float32), axes[1]], axis=1
+    )
+    s = gridgp.fit(p, axes, y, xs)
+    assert bool(jnp.isfinite(s.mean).all())
+    assert bool((s.variance > 0).all())
