@@ -327,6 +327,52 @@ def fit(p: GridParams, axes, Y, xs, *, nugget: float = gp.PREDICT_NUGGET,
     return gp.PosteriorSummary(x=xs, mean=mean, variance=var)
 
 
+def posterior_draw(key, p: GridParams, axes, Y, xs, *,
+                   nugget: float = gp.PREDICT_NUGGET, jitter: float = 1e-8,
+                   shape=(), include_noise: bool = True):
+    """Joint draw from the grid posterior at ``xs`` — ``(*shape, M)``, the
+    lattice counterpart of :func:`gpx.models.gp.posterior_draw` (the
+    ``efficientDraw`` capability, GaussianProcess.scala:146-164). The
+    (M, M) posterior covariance never touches the N-sized operator
+    densely: with per-axis rotated cross factors ``P_i = C_i Q_i``, the
+    reduction ``AAᵀ[m, m'] = Σ_j Π_i P_i[m, j_i] P_i[m', j_i] / s_j`` is
+    the same Kronecker chain run on pairwise products — O(M² Σ n_i)."""
+    axes = _check_axes(p, axes)
+    gshape = tuple(a.shape[0] for a in axes)
+    Y = _check_y(Y, gshape)
+    xs = as_locations(xs)
+    m = xs.shape[0]
+    xs_blocks = _split_xs(p, axes, xs)
+    cross = [k.gram(a_xs, a) for k, a_xs, a in
+             zip(p.kernels, xs_blocks, axes)]
+
+    qs, _, s = _eigs(p, axes, nugget)
+    yt = _rotate(Y, [q.T for q in qs])
+    alpha = _rotate(yt / s, qs)
+    mean = _mean_chain(cross, alpha)                          # (M,)
+
+    pair = [
+        jnp.einsum(
+            "mi,ri->mri", pm, pm, precision=HI
+        ).reshape(m * m, -1)
+        for pm in (jnp.matmul(c, q, precision=HI)
+                   for c, q in zip(cross, qs))
+    ]
+    red = _mean_chain(pair, 1.0 / s).reshape(m, m)            # A Aᵀ
+    kss = reduce(
+        lambda acc, pair_: acc * pair_[0].gram(pair_[1]),
+        zip(p.kernels, xs_blocks), jnp.ones((m, m), mean.dtype),
+    )
+    cov = kss - red
+    if include_noise:
+        cov = cov + p.noise * jnp.eye(m, dtype=cov.dtype)
+    from gpx.ops import chol
+
+    lp = chol.cholesky(cov + jitter * jnp.eye(m, dtype=cov.dtype))
+    z = random.normal(key, (*shape, m), dtype=lp.dtype)
+    return mean + jnp.matmul(z, lp.T, precision=HI)
+
+
 def kron_matvec(p: GridParams, axes, *, nugget: float = 0.0):
     """``mv(V) = (⊗_i K_i + (noise + nugget) I) vec(V)`` on grid-shaped
     tensors — O(N Σ n_i) per apply, no eigendecomposition. The building

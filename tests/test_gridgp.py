@@ -306,3 +306,33 @@ def test_mesh_logml_and_fit_match_local():
                                np.asarray(s_loc.mean), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(s_dst.variance),
                                np.asarray(s_loc.variance), rtol=1e-8)
+
+
+def test_posterior_draw_moments_match_fit_and_dense_cov():
+    p = _params(noise=0.1)
+    axes = _axes(5, 4)
+    y = gridgp.draw(jax.random.PRNGKey(6), p, axes)
+    rng = np.random.default_rng(31)
+    xs = jnp.asarray(rng.uniform(-2, 2, size=(6, 3)))
+    draws = gridgp.posterior_draw(jax.random.PRNGKey(7), p, axes, y, xs,
+                                  shape=(8000,), nugget=1e-6)
+    assert draws.shape == (8000, 6)
+    s = gridgp.fit(p, axes, y, xs, nugget=1e-6)
+    np.testing.assert_allclose(np.asarray(draws.mean(0)),
+                               np.asarray(s.mean), atol=0.05)
+    np.testing.assert_allclose(np.asarray(draws.var(0)),
+                               np.asarray(s.variance), rtol=0.15, atol=0.01)
+    # full joint covariance vs the dense oracle
+    K = _dense(p, axes, 1e-6)
+    c1 = np.asarray(p.kernels[0].gram(xs[:, :1], axes[0]))
+    c2 = np.asarray(p.kernels[1].gram(xs[:, 1:], axes[1]))
+    cross = np.einsum("mi,mj->mij", c1, c2).reshape(6, -1)
+    kss = np.asarray(p.kernels[0].gram(xs[:, :1])) * np.asarray(
+        p.kernels[1].gram(xs[:, 1:])
+    )
+    want_cov = (kss - cross @ np.linalg.solve(K, cross.T)
+                + float(p.noise) * np.eye(6))
+    emp = np.cov(np.asarray(draws).T)
+    assert np.max(np.abs(emp - want_cov)) < 0.1 * max(
+        np.abs(want_cov).max(), 1e-3
+    )
