@@ -13,10 +13,11 @@ from gpx.models import (
     optimize,
     sparse,
     svgp,
+    svgp_mo,
 )
 
 __all__ = [
     "classify", "dlm", "dlmgp", "gp", "gp_iterative", "gridgp",
     "multioutput",
-    "multioutput_iterative", "optimize", "sparse", "svgp",
+    "multioutput_iterative", "optimize", "sparse", "svgp", "svgp_mo",
 ]
