@@ -63,7 +63,10 @@ bench-multioutput:
 	python benchmarks/multioutput_scale.py --n 4096 --t 4 --dense-check
 	python benchmarks/multioutput_scale.py --n 16384 --t 8
 
+bench-grid:
+	python benchmarks/grid_scale.py --n1 4096 --n2 64 --grad
+
 .PHONY: simulated hmc_simulated posterior_predictive fit_temp_gp \
 	krig_temperature fit_temp_dlm forecast_temperature_dlm fit_dlm_gp \
 	icm_temperature mnist large_n test test-tpu bench bench-roofline \
-	bench-samplers bench-multioutput
+	bench-samplers bench-multioutput bench-grid
