@@ -147,6 +147,21 @@ def logml_value_and_grad(
                                           fast_gradients=fast_gradients)
 
 
+def _fused_gate(kernel, n: int):
+    """Whether the fused Pallas gradient path applies, unwrapping a single
+    top-level :class:`gpx.kernels.Ard` layer (ARD = isotropic base on scaled
+    coordinates, so the anisotropic wrapper still rides the stationary-only
+    tile kernels). Returns ``(fused, base_kernel, ard_ell_or_None)``."""
+    from gpx.kernels import Ard
+
+    base, ell = kernel, None
+    if isinstance(kernel, Ard) and not isinstance(kernel.base, Ard):
+        base, ell = kernel.base, kernel.ell
+    ok = (jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096
+          and base.is_stationary and base.pallas_safe)
+    return ok, base, ell
+
+
 def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float,
                                    *, fast_gradients: bool = False):
     from gpx.ops.chol import back_solve, spd_inverse_from_chol, tri_inverse_lower
@@ -160,8 +175,7 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float,
     mean_val, mean_vjp = jax.vjp(lambda m: m(x), params.mean)
     r = y - mean_val
 
-    fused = (jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096
-             and params.kernel.is_stationary and params.kernel.pallas_safe)
+    fused, base_kernel, ard_ell = _fused_gate(params.kernel, n)
     if fused:
         # Factor + invert in one Pallas-backed recursion when the shape
         # allows (power-of-2 N): chol_inv runs the whole O(N^3) bulk at
@@ -194,10 +208,24 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float,
         # accumulation costs N^3/6 MACs (gpx.ops.pallas_logml_grad)
         from gpx.ops.pallas_logml_grad import logml_kernel_grads
 
-        d_kernel, (tkw, trw) = logml_kernel_grads(
-            params.kernel, x, alpha, l_inv, with_correction=True,
-            fast=fast_gradients,
-        )
+        if ard_ell is None:
+            d_kernel, (tkw, trw) = logml_kernel_grads(
+                params.kernel, x, alpha, l_inv, with_correction=True,
+                fast=fast_gradients,
+            )
+        else:
+            # ARD: contraction runs on the scaled coordinates u = x / ell;
+            # the base-kernel gradients come out unchanged, and the extra
+            # per-dimension sums sdot_d = sum_ij W_ij k'(r2) (u_i - u_j)_d^2
+            # become lengthscale gradients via d r2/d ell_d = -(2/ell_d) e_d
+            from gpx.kernels import Ard
+
+            d_base, (tkw, trw), sdot = logml_kernel_grads(
+                base_kernel, x / ard_ell, alpha, l_inv,
+                with_correction=True, fast=fast_gradients, ard=True,
+            )
+            d_ell = -2.0 * sdot / jnp.asarray(ard_ell, jnp.float32)
+            d_kernel = Ard(base=d_base, ell=d_ell)
         d_kernel = jax.tree_util.tree_map(
             lambda leaf, g: g.astype(jnp.result_type(leaf)),
             params.kernel,
@@ -281,8 +309,7 @@ def logml_gradient_noise_floor(params: Parameters, x, y, *,
     """
     x, y = check_xy(x, y)
     n = x.shape[0]
-    if not (jax.default_backend() == "tpu" and n % 512 == 0 and n >= 4096
-            and params.kernel.is_stationary and params.kernel.pallas_safe):
+    if not _fused_gate(params.kernel, n)[0]:
         raise ValueError(
             "logml_gradient_noise_floor diagnoses the fused TPU gradient "
             "path (N >= 4096, 512 | N, stationary Pallas-safe kernel, TPU "
@@ -335,14 +362,8 @@ def fit(
     kxx = params.kernel.gram(x, nugget=nugget)
     kxs = params.kernel.gram(x, xs)            # (N, M) cross-covariance
 
-    fused = (
-        jax.default_backend() == "tpu"
-        and n >= 4096
-        and (n & (n - 1)) == 0
-        and params.kernel.is_stationary
-        and params.kernel.pallas_safe
-        and not full_cov
-    )
+    gate_ok, _, _ = _fused_gate(params.kernel, n)
+    fused = gate_ok and (n & (n - 1)) == 0 and not full_cov
     if fused:
         # Pallas route: one chol_inv gives the factor AND its inverse, so
         # the wide trsm for the variance becomes a triangular-aware bf16x3

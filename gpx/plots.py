@@ -133,6 +133,9 @@ def contour_plot(x, values, ax=None, levels=20):
 
 
 def savefig(fig, path, dpi=120):
+    import pathlib
+
+    pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(path, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
     return path

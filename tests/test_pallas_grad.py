@@ -64,3 +64,32 @@ def test_rejects_unaligned_n(rng):
     p, x, y, alpha, l_inv = _setup(rng, se(3.0, 5.5), n=100)
     with pytest.raises(ValueError):
         logml_kernel_grads(p.kernel, x, alpha, l_inv, bt=64, interpret=True)
+
+
+@pytest.mark.parametrize("base_fn", [
+    lambda: se(3.0, 1.0) + white(0.5),
+    lambda: matern(2.0, 2.5, 1.0) + white(0.25),
+])
+def test_ard_lengthscale_grads_match_autodiff(rng, base_fn):
+    """ard=True on pre-scaled coordinates: the extra per-dimension sums turn
+    into d logML/d ell_d = -(2/ell_d) sdot_d, matching autodiff through the
+    full ARD gram (gp._logml_value_and_grad_analytic's ARD branch)."""
+    from gpx import ard
+
+    ell = jnp.asarray([0.7, 2.3, 1.4])
+    kernel = ard(base_fn(), ell)
+    p, x, y, alpha, l_inv = _setup(rng, kernel, n=192, d=3)
+    d_base, (tkw, trw), sdot = logml_kernel_grads(
+        kernel.base, x / ell, alpha, l_inv, bt=64, interpret=True,
+        with_correction=True, ard=True,
+    )
+    d_ell = -2.0 * sdot / ell
+    _, want = gp.logml_value_and_grad(p, x, y, method="autodiff")
+    np.testing.assert_allclose(
+        np.asarray(d_ell), np.asarray(want.kernel.ell), rtol=1e-2, atol=1e-3
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(d_base),
+        jax.tree_util.tree_leaves(want.kernel.base),
+    ):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-2, atol=1e-3)

@@ -235,6 +235,40 @@ def test_ard_rides_pallas_gram_on_chip(rng):
     assert rel < 1e-3, rel
 
 
+def test_ard_fused_logml_grads_on_chip(rng):
+    """ARD lengthscale gradients through the fused analytic path (scaled
+    coordinates + per-dimension tile sums, gp._fused_gate) vs autodiff at
+    N=4096 on chip — guards the ard=True leg of pallas_logml_grad in
+    compiled mode."""
+    import gpx
+    from gpx.models import gp
+
+    ell = jnp.asarray([0.7, 2.1], jnp.float32)
+    params = gpx.Parameters(
+        mean=gpx.zero(),
+        kernel=gpx.ard(gpx.se(2.0, 1.0) + gpx.white(0.4), ell),
+    )
+    x = jnp.asarray(rng.uniform(-8, 8, size=(N, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=N), jnp.float32)
+    assert gp._fused_gate(params.kernel, N)[0]
+    v_fused, g_fused = jax.jit(
+        lambda p: gp.logml_value_and_grad(p, x, y)
+    )(params)
+    v_auto, g_auto = jax.jit(
+        lambda p: gp.logml_value_and_grad(p, x, y, method="autodiff")
+    )(params)
+    assert abs(float(v_fused) - float(v_auto)) < 1e-3 * abs(float(v_auto))
+    np.testing.assert_allclose(
+        np.asarray(g_fused.kernel.ell), np.asarray(g_auto.kernel.ell),
+        rtol=2e-2, atol=0.5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fused.kernel.base),
+        jax.tree_util.tree_leaves(g_auto.kernel.base),
+    ):
+        np.testing.assert_allclose(float(a), float(b), rtol=2e-2, atol=0.5)
+
+
 def test_multioutput_streamed_matvec_on_chip(rng):
     """The streamed Kronecker matvec (Pallas Gram tiles per term) against
     the dense (NT) operator in compiled mode."""
