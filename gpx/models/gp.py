@@ -189,7 +189,9 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float,
         if n & (n - 1) == 0:
             from gpx.ops.pallas_chol import chol_inv
 
-            l, l_inv = chol_inv(k_val)
+            # fast mode also loosens the outermost M21 assembly inside
+            # chol_inv (2-pass split on ~25% of its MACs; L unaffected)
+            l, l_inv = chol_inv(k_val, fast=fast_gradients)
         else:
             l = cholesky(k_val)
             l_inv = tri_inverse_lower(l)

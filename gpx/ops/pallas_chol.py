@@ -50,7 +50,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gpx.ops.pallas_trmm import _dot_bf16x3, syrk_lower, trmm
+from gpx.ops.pallas_trmm import _dot_bf16x2, _dot_bf16x3, syrk_lower, trmm
 
 _BT = 512        # trmm/syrk tile
 _BASE_TILE = 2048  # single-program Pallas base case
@@ -108,22 +108,33 @@ def _tri_inv_base(l, b: int):
     return r * dinv[None, :]
 
 
-def _chol_inv_value(a, t: int):
+def _chol_inv_value(a, t: int, fast: bool = False):
     """(L, L^{-1}) of a (t, t) SPD f32 value by static blocked recursion.
 
     Recursion-level products use the bf16x3 split (3 MXU passes,
     ~1.5e-5); the 128-wide leaves run at HIGHEST f32 precision. Only the
-    lower triangle of ``a`` is consumed."""
+    lower triangle of ``a`` is consumed.
+
+    ``fast`` drops ONLY this level's own inverse-assembly product
+    (``M21 = -M22 (L21 M11)``) to the 2-pass bf16x2 split and is NOT
+    propagated to children: this recursion computes L *through* M
+    (``L21 = A21 M11^T``), so any loosened M block that a later factor
+    step consumes corrupts the Schur chain — both a full-2-pass variant
+    AND an all-levels-M21-2-pass "hybrid" were MEASURED to NaN at N=16k
+    on a cond~1e5 Gram (leaf pivots go negative;
+    benchmarks/fast_factor_ab.py, round 3 — do not retry). Only the
+    outermost M21 is final-output-only and safe."""
     if t <= _BASE:
         l = _chol_base(a, t)
         return l, _tri_inv_base(l, t)
+    dot_m = _dot_bf16x2 if fast else _dot_bf16x3
     h = t // 2
     a11, a21, a22 = a[:h, :h], a[h:, :h], a[h:, h:]
     l11, m11 = _chol_inv_value(a11, h)
     l21 = _dot_bf16x3(a21, m11, dn=(((1,), (1,)), ((), ())))     # a21 @ m11^T
     s = a22 - _dot_bf16x3(l21, l21, dn=(((1,), (1,)), ((), ())))
     l22, m22 = _chol_inv_value(s, h)
-    m21 = -_dot_bf16x3(m22, _dot_bf16x3(l21, m11))
+    m21 = -dot_m(m22, dot_m(l21, m11))
     z = jnp.zeros((h, h), a.dtype)
     l = jnp.concatenate(
         [jnp.concatenate([l11, z], 1), jnp.concatenate([l21, l22], 1)], 0
@@ -134,19 +145,19 @@ def _chol_inv_value(a, t: int):
     return l, m
 
 
-def _tile_body(a_ref, l_ref, m_ref, *, t):
-    l, m = _chol_inv_value(a_ref[:], t)
+def _tile_body(a_ref, l_ref, m_ref, *, t, fast=False):
+    l, m = _chol_inv_value(a_ref[:], t, fast)
     l_ref[:] = l
     m_ref[:] = m
 
 
-def chol_inv_tile(a, *, interpret: bool = False):
+def chol_inv_tile(a, *, interpret: bool = False, fast: bool = False):
     """(L, L^{-1}) of one VMEM-resident SPD tile (single Pallas program)."""
     t = a.shape[-1]
     if a.shape != (t, t) or (t & (t - 1)):
         raise ValueError(f"chol_inv_tile needs a (t, t) power-of-2 tile: {a.shape}")
     return pl.pallas_call(
-        functools.partial(_tile_body, t=t),
+        functools.partial(_tile_body, t=t, fast=fast),
         out_shape=(
             jax.ShapeDtypeStruct((t, t), jnp.float32),
             jax.ShapeDtypeStruct((t, t), jnp.float32),
@@ -233,7 +244,8 @@ def _rec(src, off: int, t: int, l, m, *, base: int, bt: int, interpret: bool):
     return l, m
 
 
-def _rec_value(a, *, base: int, bt: int, interpret: bool):
+def _rec_value(a, *, base: int, bt: int, interpret: bool,
+               fast: bool = False):
     """Value-based recursion: per-level slice extraction + ``concatenate``
     assembly. XLA flattens the nested concatenates into single writes, so
     this is the FASTEST variant at runtime (measured A/B at N=16k on chip:
@@ -241,17 +253,21 @@ def _rec_value(a, *, base: int, bt: int, interpret: bool):
     slower (224 s vs 37 s)."""
     n = a.shape[-1]
     if n <= base:
-        return chol_inv_tile(a, interpret=interpret)
+        return chol_inv_tile(a, interpret=interpret, fast=fast)
     h = n // 2
     a11, a21, a22 = a[:h, :h], a[h:, :h], a[h:, h:]
+    # children NEVER inherit fast: their M blocks feed this level's factor
+    # products (L21 = A21 M11^T) — see _chol_inv_value's NaN note; only
+    # this level's own M21 assembly (final-output-only) may loosen
     rec = functools.partial(_rec_value, base=base, bt=bt, interpret=interpret)
     l11, m11 = rec(a11)
     l21 = trmm(a21, m11, mode="right_lower_t", bt=bt, interpret=interpret)
     s = syrk_lower(a22, l21, bt=bt, interpret=interpret)
     l22, m22 = rec(s)
     t1 = trmm(l21, m11, mode="right_lower", bt=bt, interpret=interpret,
-              neg=True)
-    m21 = trmm(t1, m22, mode="left_lower", bt=bt, interpret=interpret)
+              neg=True, fast=fast)
+    m21 = trmm(t1, m22, mode="left_lower", bt=bt, interpret=interpret,
+               fast=fast)
     z = jnp.zeros((h, h), jnp.float32)
     l = jnp.concatenate(
         [jnp.concatenate([l11, z], 1), jnp.concatenate([l21, l22], 1)], 0
@@ -263,12 +279,20 @@ def _rec_value(a, *, base: int, bt: int, interpret: bool):
 
 
 def chol_inv(a, *, base: int = _BASE_TILE, bt: int = _BT,
-             interpret: bool = False, fast_compile: bool = False):
+             interpret: bool = False, fast_compile: bool = False,
+             fast: bool = False):
     """``(L, L^{-1})`` of an SPD f32 matrix, lower triangular.
 
     ``n`` must be a power of two (callers fall back to the XLA route
     otherwise — see gpx.models.gp). Both outputs have exact zeros above
     the diagonal; only the lower triangle of ``a`` is read.
+
+    ``fast=True`` runs ONLY the outermost level's M21 assembly (~25% of
+    all MACs — the one block no factor step consumes) at the 2-pass
+    bf16x2 split: L keeps full bf16x3 accuracy, M's bottom-left block
+    loosens to ~2^-9. Anything deeper NaNs (see _chol_inv_value). Pairs
+    with the fast-gradient contraction for sampler warmup
+    (gp.logml_value_and_grad(fast_gradients=True)).
 
     Two layouts (measured A/B on chip at N=16k, round 3):
 
@@ -290,9 +314,13 @@ def chol_inv(a, *, base: int = _BASE_TILE, bt: int = _BT,
         raise ValueError(f"base ({base}) / bt ({bt}) must be powers of 2, base >= bt")
     a = jnp.asarray(a, jnp.float32)
     if n <= base:
-        return chol_inv_tile(a, interpret=interpret)
+        return chol_inv_tile(a, interpret=interpret, fast=fast)
     if not fast_compile:
-        return _rec_value(a, base=base, bt=bt, interpret=interpret)
+        return _rec_value(a, base=base, bt=bt, interpret=interpret,
+                          fast=fast)
+    if fast:
+        raise ValueError("fast=True is not wired into the fast_compile "
+                         "(in-place) layout; use the default layout")
     l = jnp.zeros((n, n), jnp.float32)
     m = jnp.zeros((n, n), jnp.float32)
     l, m = _rec(a, 0, n, l, m, base=base, bt=bt, interpret=interpret)

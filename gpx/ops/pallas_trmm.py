@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 _BT = 512
 
 
-def _body(*refs, mode, bt, nb, neg):
+def _body(*refs, mode, bt, nb, neg, fast=False):
     offs_ref, ii_ref, jj_ref, kk_ref = refs[:4]
     a_ref, b_ref = refs[4], refs[5]
     out_ref = refs[6]
@@ -62,8 +62,11 @@ def _body(*refs, mode, bt, nb, neg):
 
     # manual bf16x3 split product: ~f32-faithful at 3 MXU passes (Mosaic
     # exposes only DEFAULT=1-pass-lossy and HIGHEST=6-pass; the 6-pass cost
-    # cancels the active-tile MAC savings — measured)
-    acc[:] += _dot_bf16x3(a_ref[:], b_ref[:], dn=dn)
+    # cancels the active-tile MAC savings — measured). fast=True drops to
+    # the 2-pass split (~2^-9 rel) — the fast-factorization leg.
+    acc[:] += (_dot_bf16x2 if fast else _dot_bf16x3)(
+        a_ref[:], b_ref[:], dn=dn
+    )
 
     @pl.when(k == last_k)
     def _write():
@@ -122,7 +125,8 @@ def _schedule(nb: int, mode: str, mb: int | None = None):
 
 def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False,
          n: int | None = None, m: int | None = None,
-         b_off=(0, 0), l_off=(0, 0), neg: bool = False):
+         b_off=(0, 0), l_off=(0, 0), neg: bool = False,
+         fast: bool = False):
     """``b @ l`` (mode="right_lower"), ``l @ b`` (mode="left_lower") or
     ``b @ l.T`` (mode="right_lower_t") with ``l`` lower-triangular and
     ``(n, n)``. ``b`` is ``(n, n)`` — or ``(n, m)`` in ``left_lower`` mode
@@ -172,7 +176,8 @@ def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False,
                     second_off[0] // bt, second_off[1] // bt], np.int32)
     )
 
-    body = functools.partial(_body, mode=mode, bt=bt, nb=nb, neg=neg)
+    body = functools.partial(_body, mode=mode, bt=bt, nb=nb, neg=neg,
+                             fast=fast)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_active,),
@@ -204,7 +209,7 @@ def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False,
 
 
 def _syrk_body(offs_ref, ii_ref, jj_ref, kk_ref, a_ref, bi_ref, bj_ref,
-               out_ref, acc, *, nb):
+               out_ref, acc, *, nb, fast=False):
     s = pl.program_id(0)
     k = kk_ref[s]
 
@@ -212,7 +217,9 @@ def _syrk_body(offs_ref, ii_ref, jj_ref, kk_ref, a_ref, bi_ref, bj_ref,
     def _init():
         acc[:] = jnp.zeros_like(acc)
 
-    acc[:] += _dot_bf16x3(bi_ref[:], bj_ref[:], dn=(((1,), (1,)), ((), ())))
+    acc[:] += (_dot_bf16x2 if fast else _dot_bf16x3)(
+        bi_ref[:], bj_ref[:], dn=(((1,), (1,)), ((), ()))
+    )
 
     @pl.when(k == nb - 1)
     def _write():
@@ -220,7 +227,7 @@ def _syrk_body(offs_ref, ii_ref, jj_ref, kk_ref, a_ref, bi_ref, bj_ref,
 
 
 def syrk_lower(a, b, *, bt: int = _BT, interpret: bool = False,
-               n: int | None = None, a_off=(0, 0)):
+               n: int | None = None, a_off=(0, 0), fast: bool = False):
     """``A - B @ B^T`` on the lower-triangle tiles only (bf16x3).
 
     Upper-triangle tiles of the result are never visited and contain
@@ -256,7 +263,7 @@ def syrk_lower(a, b, *, bt: int = _BT, interpret: bool = False,
         np.asarray([a_off[0] // bt, a_off[1] // bt], np.int32)
     )
 
-    body = functools.partial(_syrk_body, nb=nb)
+    body = functools.partial(_syrk_body, nb=nb, fast=fast)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(int(ii.shape[0]),),

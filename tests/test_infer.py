@@ -200,7 +200,7 @@ def test_nuts_on_gp_posterior(rng):
         log_density, truth
     )
     result, _ = nuts.sample(
-        logpost, flat0, jax.random.PRNGKey(23), 800, warmup_iters=200,
+        logpost, flat0, jax.random.PRNGKey(23), 400, warmup_iters=150,
         max_depth=6,
     )
     draws = np.asarray(result.samples)

@@ -115,11 +115,11 @@ def test_nuts_mass_adaptation_anisotropic():
 
     key = jax.random.PRNGKey(3)
     res_a, extras_a = nuts_mod.sample(
-        logpost, jnp.zeros(3), key, 500, warmup_iters=240, adapt_mass=True,
+        logpost, jnp.zeros(3), key, 300, warmup_iters=160, adapt_mass=True,
         max_depth=8, collect=lambda s: (s.position, s.depth),
     )
     res_u, extras_u = nuts_mod.sample(
-        logpost, jnp.zeros(3), key, 500, warmup_iters=240, adapt_mass=False,
+        logpost, jnp.zeros(3), key, 300, warmup_iters=160, adapt_mass=False,
         max_depth=8, collect=lambda s: (s.position, s.depth),
     )
     qa, da = res_a.samples
@@ -138,7 +138,7 @@ def test_nuts_mass_adaptation_anisotropic():
     template = Parameters(mean=zero(), kernel=se(2.0, 2.0) + white(1.0))
     post = sample_nuts(
         jax.random.PRNGKey(10), x, y, template, _log_prior,
-        n_samples=300, burn_in=100, n_chains=2, warmup_iters=240,
+        n_samples=150, burn_in=60, n_chains=2, warmup_iters=160,
         max_depth=6, adapt_mass=True,
     )
     assert np.asarray(post.extras["mass"]).shape == (2, 3)

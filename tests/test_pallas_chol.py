@@ -41,6 +41,26 @@ def test_chol_inv_matches_numpy(rng, n, base, bt, fast_compile):
     assert np.abs(np.triu(np.asarray(m), 1)).max() == 0.0
 
 
+def test_chol_inv_fast_loosens_only_top_m21(rng):
+    """fast=True: L is UNCHANGED (the factor chain never sees the 2-pass
+    split), the diagonal blocks of M are unchanged, and only the outermost
+    M21 block loosens to the ~2^-9 bf16x2 envelope."""
+    n = 512
+    a = _spd(rng, n)
+    l3, m3 = chol_inv(jnp.asarray(a), base=128, bt=128, interpret=True)
+    lf, mf = chol_inv(jnp.asarray(a), base=128, bt=128, interpret=True,
+                      fast=True)
+    np.testing.assert_array_equal(np.asarray(l3), np.asarray(lf))
+    h = n // 2
+    np.testing.assert_array_equal(np.asarray(m3)[:h, :h],
+                                  np.asarray(mf)[:h, :h])
+    np.testing.assert_array_equal(np.asarray(m3)[h:, h:],
+                                  np.asarray(mf)[h:, h:])
+    scale = np.abs(np.asarray(m3)[h:, :h]).max()
+    diff = np.abs(np.asarray(m3)[h:, :h] - np.asarray(mf)[h:, :h]).max()
+    assert 0 < diff < 2e-2 * scale       # loosened, but 2-pass-grade
+
+
 def test_chol_inv_tile_reads_lower_triangle_only(rng):
     # garbage (NaN) in the strict upper triangle must not leak through
     a = _spd(rng, 128)
