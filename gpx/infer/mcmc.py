@@ -39,7 +39,7 @@ class PosteriorSamples(NamedTuple):
 
 def _gp_log_density(x, y, log_prior, nugget, safe=False,
                     analytic_gradients=False, mesh=None, mesh_axis="data",
-                    panel=128):
+                    panel=128, fast_gradients=False):
     if mesh is not None:
         if safe or analytic_gradients:
             raise ValueError(
@@ -70,7 +70,9 @@ def _gp_log_density(x, y, log_prior, nugget, safe=False,
         # custom_vjp likelihood: every jax.grad of the log-posterior (one
         # per leapfrog step in HMC/eHMC/NUTS) takes the fused analytic
         # route instead of autodiff through the Cholesky (~10x at N=16k)
-        ll = gp.log_marginal_likelihood_analytic_vjp(x, y, nugget=nugget)
+        ll = gp.log_marginal_likelihood_analytic_vjp(
+            x, y, nugget=nugget, fast_gradients=fast_gradients
+        )
 
         def log_density(p: Parameters):
             return log_prior(p) + ll(p)
@@ -230,6 +232,7 @@ def sample_hmc(
     nugget: float = gp.LOGML_NUGGET,
     init_jitter: float = 0.1,
     analytic_gradients: bool = False,
+    fast_warmup: bool = False,
     mesh=None,
     mesh_axis: str = "data",
     panel: int = 128,
@@ -242,7 +245,10 @@ def sample_hmc(
     matrix in a Stan-style window. ``analytic_gradients=True`` routes every
     leapfrog gradient through the fused analytic path
     (gp.log_marginal_likelihood_analytic_vjp) — ~10x per gradient at
-    N=16k. Passing a ``jax.sharding.Mesh`` as ``mesh`` instead runs every
+    N=16k. ``fast_warmup=True`` (requires analytic_gradients) runs the
+    *warmup* leapfrogs at the 2-pass warmup-grade split (~10%% less MXU
+    time per gradient at 16k, PERF.md) while kept draws stay exact.
+    Passing a ``jax.sharding.Mesh`` as ``mesh`` instead runs every
     likelihood AND leapfrog gradient through the distributed panel
     Cholesky (gpx.parallel.distributed_logml) with K row-sharded over
     ``mesh_axis`` — multi-chip HMC for data no single chip can factor;
@@ -251,12 +257,31 @@ def sample_hmc(
         x, y, log_prior, nugget, analytic_gradients=analytic_gradients,
         mesh=mesh, mesh_axis=mesh_axis, panel=panel,
     )
+    warmup_log_density = _fast_warmup_density(
+        fast_warmup, analytic_gradients, mesh, x, y, log_prior, nugget
+    )
     sequential = analytic_gradients or mesh is not None or x.shape[0] >= 8192
     return sample_hmc_log_density(
         key, template, log_density, n_samples,
         l=l, eps=eps, warmup_iters=warmup_iters, adapt_mass=adapt_mass,
         n_chains=n_chains, burn_in=burn_in, thin=thin,
         init_jitter=init_jitter, sequential=sequential,
+        warmup_log_density=warmup_log_density,
+    )
+
+
+def _fast_warmup_density(fast_warmup, analytic_gradients, mesh, x, y,
+                         log_prior, nugget):
+    if not fast_warmup:
+        return None
+    if not analytic_gradients or mesh is not None:
+        raise ValueError(
+            "fast_warmup=True runs the warmup on the 2-pass fused gradient "
+            "path — it requires analytic_gradients=True and no mesh"
+        )
+    return _gp_log_density(
+        x, y, log_prior, nugget, analytic_gradients=True,
+        fast_gradients=True,
     )
 
 
@@ -275,12 +300,19 @@ def sample_hmc_log_density(
     thin: int = 1,
     init_jitter: float = 0.1,
     sequential: bool = False,
+    warmup_log_density: Callable | None = None,
 ) -> PosteriorSamples:
     """HMC over ANY model (autodiff gradients of ``log_density`` through
     the bijector lift) — the generic core of :func:`sample_hmc`; see
-    :func:`sample_mh_log_density` for the template/log_density contract."""
+    :func:`sample_mh_log_density` for the template/log_density contract.
+    ``warmup_log_density`` (optional) is a cheaper surrogate used ONLY for
+    the step-size / mass warmup phase (e.g. the 2-pass fast-gradient
+    likelihood); kept draws always target ``log_density``."""
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
+    )
+    logpost_wu = logpost if warmup_log_density is None else (
+        mh.make_unconstrained_log_posterior(warmup_log_density, template)[0]
     )
     k_init, k_wu, k_run = random.split(key, 3)
     inits = _disperse(k_init, flat0, n_chains, init_jitter)
@@ -296,7 +328,7 @@ def sample_hmc_log_density(
         if adapt_mass:
             eps_c, mass_c, inits = _run_chains(
                 lambda kk, q: dual_averaging.window_warmup(
-                    kk, q, logpost, l0=l,
+                    kk, q, logpost_wu, l0=l,
                     init_window=warmup_iters // 3,
                     mass_window=warmup_iters // 3,
                     final_window=warmup_iters // 3,
@@ -305,7 +337,7 @@ def sample_hmc_log_density(
             )
         else:
             eps_c, inits = _run_chains(
-                lambda kk, q: dual_averaging.warmup(kk, q, logpost,
+                lambda kk, q: dual_averaging.warmup(kk, q, logpost_wu,
                                                    warmup_iters, l),
                 (wu_keys, inits), sequential=sequential,
             )
@@ -453,6 +485,7 @@ def sample_nuts(
     nugget: float = gp.LOGML_NUGGET,
     init_jitter: float = 0.1,
     analytic_gradients: bool = False,
+    fast_warmup: bool = False,
     adapt_mass: bool = False,
     mesh=None,
     mesh_axis: str = "data",
@@ -477,6 +510,9 @@ def sample_nuts(
         x, y, log_prior, nugget, analytic_gradients=analytic_gradients,
         mesh=mesh, mesh_axis=mesh_axis, panel=panel,
     )
+    warmup_log_density = _fast_warmup_density(
+        fast_warmup, analytic_gradients, mesh, x, y, log_prior, nugget
+    )
     return sample_nuts_log_density(
         key, template, log_density, n_samples,
         max_depth=max_depth, eps=eps, warmup_iters=warmup_iters,
@@ -484,6 +520,7 @@ def sample_nuts(
         thin=thin, init_jitter=init_jitter,
         sequential=analytic_gradients or mesh is not None
         or x.shape[0] >= 8192,
+        warmup_log_density=warmup_log_density,
     )
 
 
@@ -502,11 +539,17 @@ def sample_nuts_log_density(
     thin: int = 1,
     init_jitter: float = 0.1,
     sequential: bool = False,
+    warmup_log_density: Callable | None = None,
 ) -> PosteriorSamples:
     """NUTS over ANY model — the generic core of :func:`sample_nuts`; see
-    :func:`sample_mh_log_density` for the template/log_density contract."""
+    :func:`sample_mh_log_density` for the template/log_density contract.
+    ``warmup_log_density``: cheaper surrogate for the warmup phase only
+    (see :func:`sample_hmc_log_density`)."""
     logpost, flat0, unravel = mh.make_unconstrained_log_posterior(
         log_density, template
+    )
+    logpost_wu = None if warmup_log_density is None else (
+        mh.make_unconstrained_log_posterior(warmup_log_density, template)[0]
     )
     k_init, k_run = random.split(key)
     inits = _disperse(k_init, flat0, n_chains, init_jitter)
@@ -524,6 +567,7 @@ def sample_nuts_log_density(
             thin=thin,
             adapt_mass=adapt_mass,
             collect=lambda s: (s.position, s.depth),
+            warmup_log_posterior=logpost_wu,
         )
 
     (result, extras) = _run_chains(

@@ -240,8 +240,14 @@ def sample(
     mass=None,
     adapt_mass: bool = False,
     collect=lambda s: s.position,
+    warmup_log_posterior: Callable | None = None,
 ):
     """NUTS with optional dual-averaging step-size warmup.
+
+    ``warmup_log_posterior``: cheaper surrogate driven ONLY during the
+    warmup phase (e.g. the 2-pass fast-gradient GP likelihood,
+    gpx.infer.mcmc ``fast_warmup``); the kept draws always target
+    ``log_posterior``.
 
     ``adapt_mass=True`` runs the Stan-style windowed warmup instead
     (``dual_averaging.window_warmup``): eps with unit metric, a sampling
@@ -258,15 +264,18 @@ def sample(
         )
     k_wu, k_main = random.split(key)
     position = jnp.asarray(init_position)
+    lp_wu = log_posterior if warmup_log_posterior is None else (
+        warmup_log_posterior
+    )
     if eps is None and adapt_mass:
         third = max(warmup_iters // 3, 10)
         eps, mass, position = dual_averaging.window_warmup(
-            k_wu, position, log_posterior,
+            k_wu, position, lp_wu,
             init_window=third, mass_window=third, final_window=third,
         )
     elif eps is None:
         eps, position = dual_averaging.warmup(
-            k_wu, position, log_posterior, warmup_iters, 10, mass=mass
+            k_wu, position, lp_wu, warmup_iters, 10, mass=mass
         )
     step = kernel(log_posterior, eps, max_depth=max_depth, mass=mass)
     result = base.sample(

@@ -263,7 +263,8 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float,
     return value, Parameters(mean=d_mean, kernel=d_kernel)
 
 
-def log_marginal_likelihood_analytic_vjp(x, y, *, nugget: float = LOGML_NUGGET):
+def log_marginal_likelihood_analytic_vjp(x, y, *, nugget: float = LOGML_NUGGET,
+                                         fast_gradients: bool = False):
     """A ``params -> logML`` scalar function whose reverse-mode gradient is
     the fused ANALYTIC path instead of autodiff through the Cholesky.
 
@@ -273,14 +274,19 @@ def log_marginal_likelihood_analytic_vjp(x, y, *, nugget: float = LOGML_NUGGET):
     gradients take the N^3/2-MAC Pallas route (~10x over the Cholesky VJP
     at N=16k) while staying an ordinary differentiable scalar — pass it
     anywhere autodiff is used. Higher-order derivatives are not defined
-    (custom_vjp is first-order only)."""
+    (custom_vjp is first-order only). ``fast_gradients=True`` runs the
+    fused leg at the 2-pass warmup-grade split (see
+    :func:`logml_value_and_grad`) — the sampler warmup hook
+    (``fast_warmup=True`` in gpx.infer.mcmc)."""
 
     @jax.custom_vjp
     def f(params: Parameters):
         return log_marginal_likelihood(params, x, y, nugget=nugget)
 
     def fwd(params):
-        value, grads = _logml_value_and_grad_analytic(params, x, y, nugget)
+        value, grads = _logml_value_and_grad_analytic(
+            params, x, y, nugget, fast_gradients=fast_gradients
+        )
         return value, grads
 
     def bwd(grads, ct):

@@ -61,6 +61,73 @@ def test_generic_nuts_recovers_gamma_target():
     assert "depth" in post.extras
 
 
+def test_warmup_surrogate_density_used_for_tuning_only():
+    """warmup_log_density tunes eps on a surrogate but kept draws still
+    target log_density: a deliberately mis-scaled surrogate (4x tighter)
+    must push the adapted eps DOWN while the recovered posterior stays the
+    true Gamma target (the fast_warmup plumbing, gpx.infer.mcmc)."""
+
+    def tight_surrogate(k):
+        return 16.0 * _log_density(k)
+
+    post = sample_hmc_log_density(
+        jax.random.PRNGKey(3), gpx.se(1.0, 1.0), _log_density, 1500,
+        n_chains=2, burn_in=200, l=5, warmup_iters=150,
+    )
+    post_s = sample_hmc_log_density(
+        jax.random.PRNGKey(3), gpx.se(1.0, 1.0), _log_density, 1500,
+        n_chains=2, burn_in=200, l=5, warmup_iters=150,
+        warmup_log_density=tight_surrogate,
+    )
+    assert float(np.max(post_s.extras["eps"])) < float(
+        np.min(post.extras["eps"])
+    )
+    _check_target(post_s, mean_tol=0.12, var_tol=0.25)
+
+    post_n = sample_nuts_log_density(
+        jax.random.PRNGKey(4), gpx.se(1.0, 1.0), _log_density, 1500,
+        n_chains=2, burn_in=200, warmup_iters=150, max_depth=6,
+        warmup_log_density=tight_surrogate,
+    )
+    _check_target(post_n, mean_tol=0.12, var_tol=0.25)
+
+
+def test_fast_warmup_end_to_end_gp():
+    """sample_hmc(fast_warmup=True): runs and recovers off-TPU (where the
+    2-pass leg is a no-op but the whole surrogate plumbing is exercised);
+    rejects misuse without analytic gradients."""
+    import pytest
+
+    from gpx.models import gp as gpmod
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-10, 10, size=(24, 1)))
+    truth = gpx.Parameters(mean=gpx.zero(),
+                           kernel=gpx.se(3.0, 5.5) + gpx.white(0.5))
+    y = gpmod.draw(jax.random.PRNGKey(12), truth, x)
+
+    def log_prior(p):
+        pr = Gamma(concentration=jnp.asarray(2.0), rate=jnp.asarray(0.5))
+        a, b = p.kernel.kernels
+        return pr.logpdf(a.h) + pr.logpdf(a.sigma) + pr.logpdf(b.sigma)
+
+    from gpx.infer import sample_hmc
+
+    post = sample_hmc(
+        jax.random.PRNGKey(13), x, y, truth, log_prior, 300,
+        n_chains=2, burn_in=50, l=5, warmup_iters=100,
+        analytic_gradients=True, fast_warmup=True,
+    )
+    assert bool(np.isfinite(np.asarray(post.flat)).all())
+    assert (np.asarray(post.accept_rate) > 0.3).all()
+
+    with pytest.raises(ValueError):
+        sample_hmc(
+            jax.random.PRNGKey(13), x, y, truth, log_prior, 10,
+            n_chains=1, fast_warmup=True,
+        )
+
+
 def test_multioutput_nuts_runs_and_recovers_coupling_sign():
     truth = mo.IcmParams(
         kernel=gpx.se(1.0, 1.2),
