@@ -107,11 +107,11 @@ def test_sample_mh_2d_chains_times_data(rng):
         return sum(g.logpdf(leaf) for leaf in leaves)
 
     post = sample_mh_2d(
-        jax.random.PRNGKey(1), x, y, p_true, log_prior, 60, mesh,
-        proposal_scale=0.1, burn_in=30, panel=32,
+        jax.random.PRNGKey(1), x, y, p_true, log_prior, 40, mesh,
+        proposal_scale=0.1, burn_in=20, panel=32,
     )
     flat = np.asarray(post.flat)                    # (chains, n, dim)
-    assert flat.shape[0] == 2 and flat.shape[1] == 60
+    assert flat.shape[0] == 2 and flat.shape[1] == 40
     assert np.isfinite(flat).all()
     # chains moved and are distinct
     assert not np.allclose(flat[0], flat[1])
@@ -146,11 +146,11 @@ def test_sample_mh_2d_more_chains_than_rows(rng):
         return sum(g.logpdf(leaf) for leaf in leaves)
 
     post = sample_mh_2d(
-        jax.random.PRNGKey(1), x, y, p_true, log_prior, 120, mesh,
-        proposal_scale=0.12, burn_in=60, panel=16, n_chains=6,
+        jax.random.PRNGKey(1), x, y, p_true, log_prior, 60, mesh,
+        proposal_scale=0.12, burn_in=30, panel=16, n_chains=6,
     )
     flat = np.asarray(post.flat)
-    assert flat.shape[0] == 6 and flat.shape[1] == 120
+    assert flat.shape[0] == 6 and flat.shape[1] == 60
     assert np.isfinite(flat).all()
     # all 6 chains distinct (different keys, different trajectories)
     for i in range(6):
