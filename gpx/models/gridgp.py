@@ -159,7 +159,10 @@ def grid_coords(axes):
 def _axis_contract(m, t, axis):
     """Contract matrix ``m`` (r, n_axis) against tensor axis ``axis`` of
     ``t`` — the per-axis step of every Kronecker identity here."""
-    out = jnp.tensordot(m, t, axes=((1,), (axis,)))
+    # HIGHEST: every Kronecker identity here chains these rotations; the
+    # chip's single-pass bf16 matmul default would stack 5.8e-4-grade
+    # error per axis into the "exact" logML/solve
+    out = jnp.tensordot(m, t, axes=((1,), (axis,)), precision=HI)
     return jnp.moveaxis(out, 0, axis)
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from gpx.ops.chol import cholesky, forward_solve
@@ -52,7 +53,12 @@ def _common(params: Parameters, z, x, y, noise):
     err = y - params.mean(x)
 
     a = forward_solve(luu, kuf) / sigma            # (M, N)
-    b = jnp.eye(m, dtype=a.dtype) + a @ a.T
+    # HIGHEST: SPD build ahead of a Cholesky — the TPU's single-pass bf16
+    # matmul default (5.8e-4 rel) erodes definiteness; M is small so the
+    # f32-faithful contraction is free
+    b = jnp.eye(m, dtype=a.dtype) + jnp.matmul(
+        a, a.T, precision=jax.lax.Precision.HIGHEST
+    )
     lb = cholesky(b)
     aerr = a @ err
     c = forward_solve(lb, aerr) / sigma            # (M,)

@@ -95,7 +95,10 @@ def elbo_minibatch(
     c = _c_factor(state.c_raw)
     mean_b = params.mean(xb) + a.T @ state.mu
     kff = params.kernel.diag(xb, dtype=mean_b.dtype)
-    var_b = kff - jnp.sum(a * a, axis=0) + jnp.sum((c.T @ a) ** 2, axis=0)
+    # HIGHEST on c.T @ a: matrix-matrix into a variance (sum of squares);
+    # the chip's bf16 default costs ~3 digits there (M is small)
+    ca = jnp.matmul(c.T, a, precision=jax.lax.Precision.HIGHEST)
+    var_b = kff - jnp.sum(a * a, axis=0) + jnp.sum(ca ** 2, axis=0)
     s2 = noise
     exp_ll = -0.5 * jnp.log(2.0 * jnp.pi * s2) - 0.5 * (
         (yb - mean_b) ** 2 + var_b
@@ -116,7 +119,8 @@ def fit(params: Parameters, z, state: SVGPState, xs, *, noise: float = 0.0):
     c = _c_factor(state.c_raw)
     mean = params.mean(xs) + a.T @ state.mu
     kss = params.kernel.diag(xs, dtype=mean.dtype)
-    var = kss - jnp.sum(a * a, axis=0) + jnp.sum((c.T @ a) ** 2, axis=0)
+    ca = jnp.matmul(c.T, a, precision=jax.lax.Precision.HIGHEST)  # see elbo
+    var = kss - jnp.sum(a * a, axis=0) + jnp.sum(ca ** 2, axis=0)
     return SVGPSummary(x=xs, mean=mean, variance=jnp.maximum(var, 0.0) + noise)
 
 

@@ -255,7 +255,9 @@ def _cross_matvec_xla(kernel, x1, x2, v2, block: int = 2048):
     @jax.checkpoint
     def row_block(kernel, xb):
         r2 = jnp.maximum(sq_distances(xb, x2), 0.0)
-        return kernel.evaluate_xx(xb, x2, r2) @ v2
+        # HIGHEST: matrix RHS — see _gram_matvec_xla
+        return jnp.matmul(kernel.evaluate_xx(xb, x2, r2), v2,
+                          precision=jax.lax.Precision.HIGHEST)
 
     out = jax.lax.map(lambda xb: row_block(kernel, xb), rows)
     return out.reshape(-1, v2.shape[1])[:n1]
@@ -284,7 +286,12 @@ def _gram_matvec_xla(kernel, x, v2, nugget, block: int = 2048):
         kb = kernel.evaluate_xx(xb, x, r2)
         if nugget:
             kb = jnp.where(diag, kb + nugget, kb)
-        return kb @ v2
+        # HIGHEST: with a multi-column RHS this is a matrix-matrix product,
+        # and the chip's single-pass bf16 default loses ~3 digits — the
+        # same CG-breaking loss the Pallas kernel guards against at :57.
+        # (Caught on-chip at N=512, which misses the Pallas n % bt == 0
+        # gate: the fallback operator read 3.4e-3 off the f64 oracle.)
+        return jnp.matmul(kb, v2, precision=jax.lax.Precision.HIGHEST)
 
     out = jax.lax.map(
         lambda args: row_block(kernel, *args), (jnp.arange(rows.shape[0]), rows)

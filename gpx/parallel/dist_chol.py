@@ -122,8 +122,13 @@ def chol_body(k_loc, *, axis: str, n: int, panel: int = 128,
             #    the panel only touch the dead upper triangle, masked at
             #    the end)
             below_slab = lax.slice_in_dim(l_below, cs, n, axis=0)  # (w, panel)
+            # HIGHEST: the trailing update is a matrix-matrix product; the
+            # TPU's single-pass bf16 default (5.8e-4 rel) would compound
+            # across the panel chain (tests run on CPU, where the default
+            # is faithful — this only bites on real chips)
             upd = jnp.matmul(
-                l_col_loc, below_slab.T, preferred_element_type=a.dtype
+                l_col_loc, below_slab.T, preferred_element_type=a.dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )
             slab = lax.dynamic_slice(a, (0, cs), (rows_per, w))
             return lax.dynamic_update_slice(a, slab - upd, (0, cs))
@@ -335,7 +340,11 @@ def distributed_forward_solve_cols(l_sharded, b_sharded, mesh: Mesh, *,
             a_new = lax.dynamic_update_slice(a_loc, u_p, (local_off, 0))
             a_loc = jnp.where(my == owner, a_new, a_loc)
             cols = lax.dynamic_slice(l_loc, (0, s), (rows_per, panel))
-            return z_loc - cols @ u_p, a_loc
+            # HIGHEST: multi-RHS u_p makes this a matrix-matrix product
+            # (the single-RHS solve above is a faithful matvec)
+            return z_loc - jnp.matmul(
+                cols, u_p, precision=jax.lax.Precision.HIGHEST
+            ), a_loc
 
         a0 = _zeros_vma((rows_per, m), l_loc)
         z0 = b_loc + _zeros_vma((rows_per, m), l_loc)

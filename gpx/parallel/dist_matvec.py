@@ -71,7 +71,10 @@ def distributed_gram_matvec(kernel, x, mesh: Mesh, *, axis: str = "data",
         @jax.checkpoint
         def chunk(kern, xb):
             r2 = jnp.maximum(sq_distances(xb, xr), 0.0)
-            return kern.evaluate_xx(xb, xr, r2) @ v_rep
+            # HIGHEST: matrix RHS — same CG-operator faithfulness
+            # requirement as gpx.ops.pallas_matvec._gram_matvec_xla
+            return jnp.matmul(kern.evaluate_xx(xb, xr, r2), v_rep,
+                              precision=jax.lax.Precision.HIGHEST)
 
         n_loc = x_loc.shape[0]
         outs = [chunk(smooth, xl[s:s + block])
