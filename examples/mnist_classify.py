@@ -73,6 +73,10 @@ def main():
 
     perm = rng.permutation(len(xs))
     xs, ys = xs[perm], ys[perm]
+    # the synthetic fallback has 120 points; clamp the split so the
+    # default --n-train 200 still leaves a test set instead of 0 points
+    n_train = min(args.n_train, max(len(xs) - args.n_test, 1))
+    args.n_train = n_train
     x_train, y_train = xs[: args.n_train], ys[: args.n_train]
     x_test, y_test = xs[args.n_train : args.n_train + args.n_test], ys[
         args.n_train : args.n_train + args.n_test

@@ -78,11 +78,19 @@ def _newton_quantities(f, k, y_onehot):
     # b = (D - Pi Pi^T) f + y - pi   [W f + grad log p(y|f)]
     pif = jnp.sum(pi * f, axis=0)                # (N,)
     b = pi * f - pi * pif[None, :] + y_onehot - pi
-    cvec = jnp.einsum("cij,cj->ci", e, jnp.einsum("cij,cj->ci", k, b))
+    # HIGHEST: batched ("cij,cj->ci") matvecs lower to batch matmuls on
+    # the MXU, where the chip's single-pass bf16 default costs ~2e-3
+    # (measured round 3) — unlike plain matvecs, which are faithful;
+    # the Newton fixed point would otherwise drift on chip
+    hi = jax.lax.Precision.HIGHEST
+    cvec = jnp.einsum(
+        "cij,cj->ci", e, jnp.einsum("cij,cj->ci", k, b, precision=hi),
+        precision=hi,
+    )
     rc = jnp.sum(cvec, axis=0)                   # R^T c
     sol = _back_then_forward(m_chol, rc)         # M^T \ (M \ R^T c)
-    a = b - cvec + jnp.einsum("cij,j->ci", e, sol)
-    f_new = jnp.einsum("cij,cj->ci", k, a)
+    a = b - cvec + jnp.einsum("cij,j->ci", e, sol, precision=hi)
+    f_new = jnp.einsum("cij,cj->ci", k, a, precision=hi)
     return f_new, a, pi, e, m_chol, z
 
 
@@ -161,13 +169,14 @@ def latent_predict(fitres: LaplaceFit, x, kernels, xs):
         [kern.diag(xs, dtype=fitres.f.dtype) for kern in kernels]
     )                                                            # (C, M)
 
-    diff = fitres.y_onehot - fitres.pi                           # (C, N)
-    mu = jnp.einsum("cn,cnm->cm", diff, kxs)                     # (C, M)
-
-    # HIGHEST on the matrix-matrix contractions: sigma is a difference of
-    # like-sized terms and TPU's bf16 default (5.8e-4 rel) can flip small
-    # predictive variances negative (batched matvecs are f32-faithful)
+    # HIGHEST throughout: sigma is a difference of like-sized terms and
+    # TPU's bf16 default (5.8e-4 rel) can flip small predictive variances
+    # negative; BATCHED matvecs ("cn,cnm->cm") also lower to batch
+    # matmuls and lose ~2e-3 at the default (measured round 3 — only
+    # UNbatched matvecs are f32-faithful on this chip)
     hi = jax.lax.Precision.HIGHEST
+    diff = fitres.y_onehot - fitres.pi                           # (C, N)
+    mu = jnp.einsum("cn,cnm->cm", diff, kxs, precision=hi)       # (C, M)
     b = jnp.einsum("cij,cjm->cim", fitres.e, kxs, precision=hi)  # (C, N, M)
     # Solve (sum_c E_c)^{-1} b_d PER CLASS (one batched trsm over the C*M
     # columns): Sigma*_{cd} = b_c^T (sum E)^{-1} b_d + delta_cd (kss - b_c^T k*_c).
