@@ -109,6 +109,7 @@ def log_marginal_likelihood(
 def logml_value_and_grad(
     params: Parameters, x, y, *, nugget: float = LOGML_NUGGET,
     method: str = "analytic", fast_gradients: bool = False,
+    probes: int = 64, probe_key=None,
 ):
     """``(logML, d logML / d params)`` in one compiled pass — the north-star
     metric path (SURVEY.md §3.3, BASELINE.md).
@@ -123,6 +124,11 @@ def logml_value_and_grad(
     (and without the reference's Jacobian sign bugs, SURVEY.md §7).
     ``method="autodiff"`` differentiates through the Cholesky instead
     (~7x slower at N=16k: the XLA Cholesky VJP's trsm passes dominate).
+    ``method="hybrid"`` is the stochastic-exact path (round 4): spine
+    factorization + direct probe solves + rank-``probes`` trace
+    estimation — see :func:`_logml_value_and_grad_hybrid` for the error
+    model (~sqrt(2/(probes*N)) relative on trace-dominated components);
+    ``probes``/``probe_key`` apply only there.
 
     ``fast_gradients=True`` (fused TPU path only) runs the W-contraction of
     the gradient at a 2-pass bf16 split instead of 3 — ~2^-9-relative
@@ -141,6 +147,23 @@ def logml_value_and_grad(
         return jax.value_and_grad(
             lambda p: log_marginal_likelihood(p, x, y, nugget=nugget)
         )(params)
+    if method == "hybrid":
+        from gpx.kernels import Ard
+
+        n = as_locations(x).shape[0]
+        kern = params.kernel
+        if (isinstance(kern, Ard) or not kern.is_stationary
+                or not kern.pallas_safe or n % 512):
+            raise ValueError(
+                "method='hybrid' needs a stationary Pallas-safe kernel "
+                "(no Ard wrapper yet) and 512 | N; use method='analytic'"
+            )
+        # off-TPU an explicit hybrid request runs the kernels interpreted
+        # (slow but correct), mirroring gram(method='pallas')
+        return _logml_value_and_grad_hybrid(
+            params, x, y, nugget, probes=probes, key=probe_key,
+            interpret=jax.default_backend() != "tpu",
+        )
     if method != "analytic":
         raise ValueError(f"unknown method: {method}")
     return _logml_value_and_grad_analytic(params, x, y, nugget,
@@ -164,7 +187,7 @@ def _fused_gate(kernel, n: int):
 
 def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float,
                                    *, fast_gradients: bool = False):
-    from gpx.ops.chol import back_solve, spd_inverse_from_chol, tri_inverse_lower
+    from gpx.ops.chol import back_solve, spd_inverse_from_chol
 
     x, y = check_xy(x, y)
     n = x.shape[0]
@@ -177,24 +200,21 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float,
 
     fused, base_kernel, ard_ell = _fused_gate(params.kernel, n)
     if fused:
-        # Factor + invert in one Pallas-backed recursion when the shape
-        # allows (power-of-2 N): chol_inv runs the whole O(N^3) bulk at
-        # bf16x3 on the MXU — measured ~2x XLA's f32 Cholesky + blocked
-        # tri-inverse at N=16k. The gradient needs L^{-1} anyway; alpha
+        # Factor + invert in one Pallas-backed recursion: chol_inv runs the
+        # whole O(N^3) bulk at bf16x3 on the MXU — measured ~2x XLA's f32
+        # Cholesky + blocked tri-inverse at N=16k, and handles ANY N
+        # multiple of 512 via uneven Schur splits (round 4; previously
+        # power-of-2 only). The gradient needs L^{-1} anyway; alpha
         # comes from dense matvecs against it (XLA's trsv is latency-bound:
         # ~33 ms each at N=16k vs ~1.5 ms per matvec) — PLUS one step of
         # iterative refinement: the explicit inverse alone is backward-
         # unstable (alpha error ~1e-3 relative on 16k SE Grams), and one
         # K-matvec correction restores trsv-level accuracy for ~4 ms.
-        if n & (n - 1) == 0:
-            from gpx.ops.pallas_chol import chol_inv
+        from gpx.ops.pallas_chol import chol_inv
 
-            # fast mode also loosens the outermost M21 assembly inside
-            # chol_inv (2-pass split on ~25% of its MACs; L unaffected)
-            l, l_inv = chol_inv(k_val, fast=fast_gradients)
-        else:
-            l = cholesky(k_val)
-            l_inv = tri_inverse_lower(l)
+        # fast mode also loosens the outermost M21 assembly inside
+        # chol_inv (2-pass split on ~25% of its MACs; L unaffected)
+        l, l_inv = chol_inv(k_val, fast=fast_gradients)
         alpha0 = l_inv.T @ (l_inv @ r)
         resid1 = r - k_val @ alpha0
         alpha = alpha0 + l_inv.T @ (l_inv @ resid1)
@@ -263,6 +283,65 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float,
     return value, Parameters(mean=d_mean, kernel=d_kernel)
 
 
+def _logml_value_and_grad_hybrid(params: Parameters, x, y, nugget: float,
+                                 *, probes: int = 64, key=None,
+                                 interpret: bool = False):
+    """Stochastic-exact hybrid (round 4, VERDICT Next-3; GPyTorch-mBCG
+    analogue from PAPERS.md): factor with the trailing-spine M21s skipped
+    (``chol_inv(spine=True)``, ~N^3/7 fewer MACs), solve alpha and a
+    Rademacher probe block directly through the spine (no CG — the solves
+    are exact), and estimate the trace term of every gradient with the
+    rank-s probe contraction (O(N^2 s) instead of the exact N^3/6 sweep).
+    The logdet correction terms are probe-estimated the same way, so the
+    *value* keeps its second-order insensitivity to factor error, up to
+    Hutchinson variance ~sqrt(2/(s N)) on the (small) correction itself.
+
+    Estimator error: gradients carry ~sqrt(2/(s N)) *relative* noise on
+    trace-dominated components (s=64, N=16k: ~1.4e-3) — between the exact
+    3-pass path (~1e-5) and ``fast_gradients`` (~2^-9); the quad term and
+    value are probe-free apart from the tiny correction. Deterministic
+    given ``key`` (default: a fixed key)."""
+    from gpx.ops.pallas_chol import (
+        chol_inv, spine_solve_lower, spine_solve_lower_t,
+    )
+    from gpx.ops.pallas_logml_grad import logml_probe_grads
+
+    x, y = check_xy(x, y)
+    n = x.shape[0]
+    k_val = gram_of(params.kernel, x, nugget)
+    mean_val, mean_vjp = jax.vjp(lambda m: m(x), params.mean)
+    r = y - mean_val
+
+    l, m = chol_inv(k_val, spine=True, interpret=interpret)
+
+    def solve(b):
+        return spine_solve_lower_t(l, m, spine_solve_lower(l, m, b))
+
+    alpha0 = solve(r)
+    alpha = alpha0 + solve(r - k_val @ alpha0)
+    quad = r @ alpha
+
+    key = random.PRNGKey(0) if key is None else key
+    z = random.rademacher(key, (n, probes), dtype=jnp.float32)
+    u = solve(z)
+
+    d_kernel, (tkw, trw) = logml_probe_grads(
+        params.kernel, x, alpha, u, z, with_correction=True,
+        interpret=interpret,
+    )
+    d_kernel = jax.tree_util.tree_map(
+        lambda leaf, g: g.astype(jnp.result_type(leaf)),
+        params.kernel,
+        d_kernel,
+    )
+    half_logdet = -jnp.sum(jnp.log(jnp.diagonal(m))) + 0.5 * (
+        tkw + nugget * trw - n
+    )
+    value = -0.5 * quad - half_logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    (d_mean,) = mean_vjp(alpha.astype(mean_val.dtype))
+    return value, Parameters(mean=d_mean, kernel=d_kernel)
+
+
 def log_marginal_likelihood_analytic_vjp(x, y, *, nugget: float = LOGML_NUGGET,
                                          fast_gradients: bool = False):
     """A ``params -> logML`` scalar function whose reverse-mode gradient is
@@ -314,15 +393,18 @@ def logml_gradient_noise_floor(params: Parameters, x, y, *,
     optimization decisions (use the CPU x64 path if it must).
 
     Cost: one extra 2-pass gradient evaluation (~2/3 of a normal one).
+
+    Off the fused path (CPU backend, small/odd N, non-stationary kernel)
+    the two-split trick does not exist, so the floor comes from a direct
+    CPU x64 oracle instead: one f64 autodiff gradient on the host, with
+    ``floor = |g_f32 - g_f64|`` the *measured* error (round-4 fix of the
+    r3 behavior, which raised here). The oracle is O(N^3) on one CPU core
+    — fine at the small N this branch serves, minutes at N >= 16k.
     """
     x, y = check_xy(x, y)
     n = x.shape[0]
     if not _fused_gate(params.kernel, n)[0]:
-        raise ValueError(
-            "logml_gradient_noise_floor diagnoses the fused TPU gradient "
-            "path (N >= 4096, 512 | N, stationary Pallas-safe kernel, TPU "
-            "backend); off that path use the CPU x64 parity route instead"
-        )
+        return _noise_floor_x64(params, x, y, nugget)
     value, g3 = logml_value_and_grad(params, x, y, nugget=nugget)
     _, g2 = logml_value_and_grad(params, x, y, nugget=nugget,
                                  fast_gradients=True)
@@ -339,6 +421,44 @@ def logml_gradient_noise_floor(params: Parameters, x, y, *,
         g3, floor,
     )
     return g3, floor, flagged
+
+
+def _noise_floor_x64(params: Parameters, x, y, nugget: float):
+    """Noise floor via a CPU f64 autodiff oracle (the off-fused-path leg of
+    :func:`logml_gradient_noise_floor`): the returned floor is the measured
+    |g_f32 - g_f64| per component, not a rescaled truncation estimate."""
+    import numpy as np
+
+    _, g32 = logml_value_and_grad(params, x, y, nugget=nugget)
+    to64 = lambda leaf: jnp.asarray(np.asarray(leaf, np.float64))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), jax.enable_x64():
+        p64 = jax.tree_util.tree_map(to64, params)
+        x64, y64 = to64(x), to64(y)
+        n64 = x64.shape[0]
+
+        def ll64(p):
+            # explicit XLA gram: the auto dispatch keys on the *backend*,
+            # which is still "tpu" here even though the oracle is pinned to
+            # the host CPU device
+            kxx = p.kernel.gram(x64, nugget=nugget, method="xla")
+            l = cholesky(kxx)
+            u = forward_solve(l, y64 - p.mean(x64))
+            return (-0.5 * u @ u - jnp.sum(jnp.log(jnp.diagonal(l)))
+                    - 0.5 * n64 * jnp.log(2.0 * jnp.pi))
+
+        _, g64 = jax.value_and_grad(ll64)(p64)
+
+    def floor_of(a, b):
+        return jnp.abs(jnp.asarray(a, jnp.float32)
+                       - jnp.asarray(np.asarray(b, np.float32)))
+
+    floor = jax.tree_util.tree_map(floor_of, g32, g64)
+    flagged = jax.tree_util.tree_map(
+        lambda g, f: jnp.abs(jnp.asarray(g, jnp.float32)) < 10.0 * f,
+        g32, floor,
+    )
+    return g32, floor, flagged
 
 
 def gram_of(kernel, x, nugget):
@@ -361,6 +481,15 @@ def fit(
     Returns a :class:`PosteriorSummary` (marginal mean/variance), or
     ``(mean, cov)`` when ``full_cov=True`` (needed for joint posterior draws,
     which the reference cannot produce from its per-point loop).
+
+    f32 floor caveat (measured on chip, round 4): on near-singular Grams
+    (smooth kernel, dense x, small noise) with targets *incompatible* with
+    the model (e.g. pure white noise under a smooth kernel), the posterior
+    mean is a cancellation residue of scale ``~eps_f32 * cond(K) * |y|`` —
+    at that point NO f32 route computes it to relative accuracy (the
+    backward-stable trsv route measured 0.48 abs error vs f64 at N=4608,
+    mean scale 0.47). On model-consistent data the mean is ~1e-3-grade;
+    for incompatible-y studies use the CPU x64 path.
     """
     from gpx.ops.chol import back_solve
 
@@ -371,7 +500,7 @@ def fit(
     kxs = params.kernel.gram(x, xs)            # (N, M) cross-covariance
 
     gate_ok, _, _ = _fused_gate(params.kernel, n)
-    fused = gate_ok and (n & (n - 1)) == 0 and not full_cov
+    fused = gate_ok and not full_cov
     if fused:
         # Pallas route: one chol_inv gives the factor AND its inverse, so
         # the wide trsm for the variance becomes a triangular-aware bf16x3
@@ -385,8 +514,16 @@ def fit(
 
         l, l_inv = chol_inv(kxx)
         r = y - params.mean(x)
-        alpha0 = l_inv.T @ (l_inv @ r)
-        alpha = alpha0 + l_inv.T @ (l_inv @ (r - kxx @ alpha0))
+        alpha = l_inv.T @ (l_inv @ r)
+        # TWO refinement steps here (vs one on the logml path): the
+        # posterior mean is a cancellation-critical reduction against
+        # alpha, and on near-singular Grams (smooth kernel, small noise)
+        # one step leaves a visibly larger K alpha - r residual than the
+        # backward-stable trsv route (measured on chip at N=4608); each
+        # step is two matvecs + one K matvec — microseconds next to the
+        # factorization
+        for _ in range(2):
+            alpha = alpha + l_inv.T @ (l_inv @ (r - kxx @ alpha))
         mean = params.mean(xs) + kxs.T @ alpha
 
         pad = (-m) % 512

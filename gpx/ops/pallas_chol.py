@@ -208,67 +208,102 @@ def chol_inv_tile_off(src, off: int, t: int, *, interpret: bool = False):
     )(offs, src)
 
 
-def _rec(src, off: int, t: int, l, m, *, base: int, bt: int, interpret: bool):
+def _rec(src, off: int, t: int, l, m, *, base: int, bt: int, interpret: bool,
+         fast: bool = False):
     """Factor the ``(t, t)`` sub-problem whose data sits at ``(off, off)``
     of ``src``, writing every L/M block into the full-size buffers at the
     same offsets. ``src`` is the original ``a`` for the leading-diagonal
     chain and the big ``l`` buffer for Schur children (whose data the
     parent's syrk deposited there); both are ``(n, n)``, so every kernel
-    call at a given sub-size shares one compiled program."""
+    call at a given sub-size shares one compiled program. Non-power-of-2
+    ``t`` splits unevenly at the largest power of 2 (see :func:`_split`).
+    ``fast`` loosens only THIS level's M21 assembly (the outermost call's
+    final-output-only block) and is never propagated to children — see
+    :func:`_chol_inv_value`'s NaN note."""
     from jax import lax
 
-    if t <= base:
+    if t <= base and (t & (t - 1)) == 0:
         lt, mt = chol_inv_tile_off(src, off, t, interpret=interpret)
         l = lax.dynamic_update_slice(l, lt, (off, off))
         m = lax.dynamic_update_slice(m, mt, (off, off))
         return l, m
-    h = t // 2
+    h = _split(t)
+    r = t - h
     kw = dict(bt=bt, interpret=interpret)
     l, m = _rec(src, off, h, l, m, base=base, bt=bt, interpret=interpret)
     # L21 = A21 @ M11^T — A21 read in place from src, M11 in place from m
-    l21 = trmm(src, m, mode="right_lower_t", n=h,
+    l21 = trmm(src, m, mode="right_lower_t", n=h, m=r,
                b_off=(off + h, off), l_off=(off, off), **kw)
     l = lax.dynamic_update_slice(l, l21, (off + h, off))
     # S = A22 - L21 @ L21^T, deposited into l's (off+h, off+h) region: the
     # Schur child reads it from there and overwrites it block-by-block
     # exactly after last use (classic in-place factorization order)
-    s = syrk_lower(src, l21, n=h, a_off=(off + h, off + h), **kw)
+    s = syrk_lower(src, l21, n=r, a_off=(off + h, off + h), **kw)
     l = lax.dynamic_update_slice(l, s, (off + h, off + h))
-    l, m = _rec(l, off + h, h, l, m, base=base, bt=bt, interpret=interpret)
+    l, m = _rec(l, off + h, r, l, m, base=base, bt=bt, interpret=interpret)
     # M21 = -M22 @ (L21 @ M11): sign fused into the first trmm
-    t1 = trmm(l21, m, mode="right_lower", n=h, l_off=(off, off), neg=True,
-              **kw)
-    m21 = trmm(t1, m, mode="left_lower", n=h, m=h,
-               l_off=(off + h, off + h), **kw)
+    t1 = trmm(l21, m, mode="right_lower", n=h, m=r, l_off=(off, off),
+              neg=True, fast=fast, **kw)
+    m21 = trmm(t1, m, mode="left_lower", n=r, m=h,
+               l_off=(off + h, off + h), fast=fast, **kw)
     m = lax.dynamic_update_slice(m, m21, (off + h, off))
     return l, m
 
 
+def _split(n: int) -> int:
+    """Leading-panel size for the Schur split: half for power-of-2 ``n``,
+    otherwise the largest power of 2 below ``n`` (so the leading child is
+    always a power of 2 and the trailing child — ``n - h``, a multiple of
+    the tile size whenever ``n`` is — recurses the same way; leaves of the
+    whole recursion are exactly the binary decomposition of ``n``)."""
+    return n // 2 if (n & (n - 1)) == 0 else 1 << (n.bit_length() - 1)
+
+
 def _rec_value(a, *, base: int, bt: int, interpret: bool,
-               fast: bool = False):
+               fast: bool = False, spine: bool = False):
     """Value-based recursion: per-level slice extraction + ``concatenate``
     assembly. XLA flattens the nested concatenates into single writes, so
     this is the FASTEST variant at runtime (measured A/B at N=16k on chip:
     79.2 ms vs 83.5 in-place) — but the concat-heavy graph compiles ~6x
-    slower (224 s vs 37 s)."""
+    slower (224 s vs 37 s).
+
+    Any ``n`` divisible by ``bt`` is handled: non-power-of-2 sizes split
+    unevenly at the largest power of 2 (rectangular trmm/syrk panels), so
+    e.g. N = 20480 factors as a 16384 child plus a 4096 Schur child.
+
+    ``spine=True`` (the stochastic-hybrid factorization, round 4) skips
+    the M21 assembly on the TRAILING SPINE — this level and recursively
+    its Schur child. Those are exactly the M blocks no later factor step
+    consumes (every *leading* child's full inverse is needed for
+    ``L21 = A21 M11^T``, so only the trailing chain is skippable): it
+    saves ~N^3/7 of the MACs (~37%% of the tri-inverse half). The skipped
+    blocks are left ZERO; ``L`` and every other M block are bit-identical
+    to the full recursion. Solves then go through
+    :func:`spine_solve_lower` / :func:`spine_solve_lower_t` instead of
+    dense ``M`` matvecs."""
     n = a.shape[-1]
-    if n <= base:
+    if n <= base and (n & (n - 1)) == 0:
         return chol_inv_tile(a, interpret=interpret, fast=fast)
-    h = n // 2
+    h = _split(n)
+    r = n - h
     a11, a21, a22 = a[:h, :h], a[h:, :h], a[h:, h:]
     # children NEVER inherit fast: their M blocks feed this level's factor
     # products (L21 = A21 M11^T) — see _chol_inv_value's NaN note; only
     # this level's own M21 assembly (final-output-only) may loosen
     rec = functools.partial(_rec_value, base=base, bt=bt, interpret=interpret)
     l11, m11 = rec(a11)
-    l21 = trmm(a21, m11, mode="right_lower_t", bt=bt, interpret=interpret)
+    l21 = trmm(a21, m11, mode="right_lower_t", bt=bt, interpret=interpret,
+               m=r)
     s = syrk_lower(a22, l21, bt=bt, interpret=interpret)
-    l22, m22 = rec(s)
-    t1 = trmm(l21, m11, mode="right_lower", bt=bt, interpret=interpret,
-              neg=True, fast=fast)
-    m21 = trmm(t1, m22, mode="left_lower", bt=bt, interpret=interpret,
-               fast=fast)
-    z = jnp.zeros((h, h), jnp.float32)
+    l22, m22 = rec(s, spine=spine)
+    if spine:
+        m21 = jnp.zeros((r, h), jnp.float32)
+    else:
+        t1 = trmm(l21, m11, mode="right_lower", bt=bt, interpret=interpret,
+                  neg=True, fast=fast, m=r)
+        m21 = trmm(t1, m22, mode="left_lower", bt=bt, interpret=interpret,
+                   fast=fast)
+    z = jnp.zeros((h, r), jnp.float32)
     l = jnp.concatenate(
         [jnp.concatenate([l11, z], 1), jnp.concatenate([l21, l22], 1)], 0
     )
@@ -280,12 +315,16 @@ def _rec_value(a, *, base: int, bt: int, interpret: bool,
 
 def chol_inv(a, *, base: int = _BASE_TILE, bt: int = _BT,
              interpret: bool = False, fast_compile: bool = False,
-             fast: bool = False):
+             fast: bool = False, spine: bool = False):
     """``(L, L^{-1})`` of an SPD f32 matrix, lower triangular.
 
-    ``n`` must be a power of two (callers fall back to the XLA route
-    otherwise — see gpx.models.gp). Both outputs have exact zeros above
-    the diagonal; only the lower triangle of ``a`` is read.
+    ``n`` must be a multiple of the sweep tile ``bt`` (or a power of two
+    below ``base``): non-power-of-2 sizes recurse through uneven Schur
+    splits at the largest power of 2, whose panel products run as
+    rectangular trmm/syrk sweeps — so N = 20480 or 12800 ride the same
+    kernels as N = 16384 (the leaf set is the binary decomposition of
+    ``n``). Both outputs have exact zeros above the diagonal; only the
+    lower triangle of ``a`` is read.
 
     ``fast=True`` runs ONLY the outermost level's M21 assembly (~25% of
     all MACs — the one block no factor step consumes) at the 2-pass
@@ -293,6 +332,12 @@ def chol_inv(a, *, base: int = _BASE_TILE, bt: int = _BT,
     loosens to ~2^-9. Anything deeper NaNs (see _chol_inv_value). Pairs
     with the fast-gradient contraction for sampler warmup
     (gp.logml_value_and_grad(fast_gradients=True)).
+
+    ``spine=True`` SKIPS the trailing-spine M21 assemblies entirely
+    (~N^3/7 MACs) and leaves those blocks zero: the factorization for the
+    stochastic-hybrid gradient path, where solves run through
+    :func:`spine_solve_lower` / :func:`spine_solve_lower_t` and the trace
+    term is probe-estimated instead of needing the dense inverse.
 
     Two layouts (measured A/B on chip at N=16k, round 3):
 
@@ -308,24 +353,71 @@ def chol_inv(a, *, base: int = _BASE_TILE, bt: int = _BT,
       224 s dominate.
     """
     n = a.shape[-1]
-    if a.shape != (n, n) or (n & (n - 1)):
-        raise ValueError(f"chol_inv needs (n, n) with n a power of 2: {a.shape}")
+    pow2 = n > 0 and (n & (n - 1)) == 0
+    if a.shape != (n, n) or n == 0 or (not pow2 and n % bt):
+        raise ValueError(
+            f"chol_inv needs (n, n) with n a power of 2 or a multiple of"
+            f" bt={bt}: {a.shape}"
+        )
     if base & (base - 1) or bt & (bt - 1) or base < bt:
         raise ValueError(f"base ({base}) / bt ({bt}) must be powers of 2, base >= bt")
+    if spine and (fast or fast_compile):
+        raise ValueError(
+            "spine=True skips the trailing M21 chain entirely — fast "
+            "(which loosens only that chain) has no effect, and the "
+            "fast_compile layout does not implement it"
+        )
     a = jnp.asarray(a, jnp.float32)
-    if n <= base:
+    if n <= base and pow2:
         return chol_inv_tile(a, interpret=interpret, fast=fast)
     if not fast_compile:
         return _rec_value(a, base=base, bt=bt, interpret=interpret,
-                          fast=fast)
-    if fast:
-        raise ValueError("fast=True is not wired into the fast_compile "
-                         "(in-place) layout; use the default layout")
+                          fast=fast, spine=spine)
     l = jnp.zeros((n, n), jnp.float32)
     m = jnp.zeros((n, n), jnp.float32)
-    l, m = _rec(a, 0, n, l, m, base=base, bt=bt, interpret=interpret)
+    l, m = _rec(a, 0, n, l, m, base=base, bt=bt, interpret=interpret,
+                fast=fast)
     # the staged Schur deposits leave garbage on l's block-level upper
     # triangle (syrk_lower's unvisited upper tiles); one masked pass clears
     # it (m never receives off-triangle writes). A zero-filling syrk variant
     # measured SLOWER (see syrk_lower's docstring) — keep the mask.
     return jnp.tril(l), m
+
+
+def _hmm(a, b):
+    """Matrix product at HIGHEST precision: the spine solves are matrix-
+    matrix products on the probe RHS blocks, where this chip's single-pass
+    bf16 default would cost ~3 digits (CLAUDE.md); at s <= 128 columns the
+    6-pass cost is microseconds."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def spine_solve_lower(l, m, b, *, base: int = _BASE_TILE):
+    """``L^{-1} @ b`` from a ``chol_inv(..., spine=True)`` factorization.
+
+    ``b``: (n,) or (n, s). Uses the full leading-child inverse blocks as
+    dense products and forward-substitutes down the trailing spine (whose
+    M21 blocks were skipped): per level, ``u1 = M11 b1`` then
+    ``u2 = spine(b2 - L21 u1)`` — log-depth latency, same MACs as the
+    dense-M matvec route."""
+    n = l.shape[-1]
+    if n <= base and (n & (n - 1)) == 0:
+        return _hmm(m, b)
+    h = _split(n)
+    u1 = _hmm(m[:h, :h], b[:h])
+    r2 = b[h:] - _hmm(l[h:, :h], u1)
+    u2 = spine_solve_lower(l[h:, h:], m[h:, h:], r2, base=base)
+    return jnp.concatenate([u1, u2], axis=0)
+
+
+def spine_solve_lower_t(l, m, b, *, base: int = _BASE_TILE):
+    """``L^{-T} @ b`` from a spine factorization (see
+    :func:`spine_solve_lower`): backward-substitutes up the spine —
+    ``x2 = spine_t(b2)`` then ``x1 = M11^T (b1 - L21^T x2)``."""
+    n = l.shape[-1]
+    if n <= base and (n & (n - 1)) == 0:
+        return _hmm(m.T, b)
+    h = _split(n)
+    x2 = spine_solve_lower_t(l[h:, h:], m[h:, h:], b[h:], base=base)
+    x1 = _hmm(m[:h, :h].T, b[:h] - _hmm(l[h:, :h].T, x2))
+    return jnp.concatenate([x1, x2], axis=0)

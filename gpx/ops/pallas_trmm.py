@@ -101,11 +101,12 @@ def _dot_bf16x2(a, b, dn=(((1,), (0,)), ((), ()))):
     )
 
 
-def _schedule(nb: int, mode: str, mb: int | None = None):
-    mb = nb if mb is None else mb
+def _schedule(nb: int, mode: str, rows: int, cols: int):
+    """Active (i, j, k) tile triples: ``rows x cols`` output tiles, each
+    contracting only over L's nonzero range (``nb`` = L's block count)."""
     ii, jj, kk = [], [], []
-    for i in range(nb):
-        for j in range(mb):
+    for i in range(rows):
+        for j in range(cols):
             if mode == "right_lower":
                 ks = range(j, nb)
             elif mode == "left_lower":
@@ -129,9 +130,12 @@ def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False,
          fast: bool = False):
     """``b @ l`` (mode="right_lower"), ``l @ b`` (mode="left_lower") or
     ``b @ l.T`` (mode="right_lower_t") with ``l`` lower-triangular and
-    ``(n, n)``. ``b`` is ``(n, n)`` — or ``(n, m)`` in ``left_lower`` mode
-    (the prediction-path trsm replacement: ``L^{-1} @ Kxs``). All dims
-    divisible by ``bt``. Only the lower triangle of ``l`` is ever read.
+    ``(n, n)``. ``b`` is ``(m, n)`` in the right modes (``m`` defaults to
+    ``n``) — or ``(n, m)`` in ``left_lower`` mode (the prediction-path trsm
+    replacement: ``L^{-1} @ Kxs``). All dims divisible by ``bt``. Only the
+    lower triangle of ``l`` is ever read. Rectangular right-mode operands
+    carry the uneven (non-power-of-2) Schur panels of
+    gpx.ops.pallas_chol.chol_inv.
 
     ``b_off``/``l_off`` (element offsets, multiples of ``bt``) read the
     operands as sub-blocks *embedded in larger buffers* — the Cholesky
@@ -148,16 +152,20 @@ def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False,
     for name, (oi, oj) in (("b_off", b_off), ("l_off", l_off)):
         if oi % bt or oj % bt:
             raise ValueError(f"{name} must be multiples of bt={bt}: {(oi, oj)}")
-    b_shape = (n, m) if mode == "left_lower" else (n, n)
+    b_shape = (n, m) if mode == "left_lower" else (m, n)
     if (l.shape[0] < l_off[0] + n or l.shape[1] < l_off[1] + n
             or b.shape[0] < b_off[0] + b_shape[0]
             or b.shape[1] < b_off[1] + b_shape[1] or n % bt or m % bt):
         raise ValueError(
             f"trmm {mode}: l {l.shape} at {l_off} / b {b.shape} at {b_off}"
-            f" cannot hold ({n}, {m}) with {bt} | dims"
+            f" cannot hold b {b_shape} with {bt} | dims"
         )
     nb = n // bt
-    ii, jj, kk = _schedule(nb, mode, mb=m // bt)
+    if mode == "left_lower":
+        rows, cols = nb, m // bt
+    else:
+        rows, cols = m // bt, nb
+    ii, jj, kk = _schedule(nb, mode, rows, cols)
     n_active = ii.shape[0]
 
     # operand order inside the kernel is (A, B) for A @ B (or A @ B^T)
@@ -194,10 +202,11 @@ def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False,
         ),
         scratch_shapes=[pltpu.VMEM((bt, bt), jnp.float32)],
     )
+    out_shape = (n, m) if mode == "left_lower" else (m, n)
     return pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         # double-buffered (bt, bt) f32 pipeline buffers exceed the 16 MB
         # default scoped-VMEM cap at bt = 1024 (measured compile OOM)
         compiler_params=pltpu.CompilerParams(
@@ -209,7 +218,7 @@ def trmm(b, l, *, mode: str, bt: int = _BT, interpret: bool = False,
 
 
 def _syrk_body(offs_ref, ii_ref, jj_ref, kk_ref, a_ref, bi_ref, bj_ref,
-               out_ref, acc, *, nb, fast=False):
+               out_ref, acc, *, kb):
     s = pl.program_id(0)
     k = kk_ref[s]
 
@@ -217,17 +226,18 @@ def _syrk_body(offs_ref, ii_ref, jj_ref, kk_ref, a_ref, bi_ref, bj_ref,
     def _init():
         acc[:] = jnp.zeros_like(acc)
 
-    acc[:] += (_dot_bf16x2 if fast else _dot_bf16x3)(
-        bi_ref[:], bj_ref[:], dn=(((1,), (1,)), ((), ()))
-    )
+    # always the full bf16x3 split: every syrk output feeds a later factor
+    # step of the Cholesky recursion, and a loosened Schur update is the
+    # measured-to-NaN configuration (see _chol_inv_value's fast note)
+    acc[:] += _dot_bf16x3(bi_ref[:], bj_ref[:], dn=(((1,), (1,)), ((), ())))
 
-    @pl.when(k == nb - 1)
+    @pl.when(k == kb - 1)
     def _write():
         out_ref[:] = a_ref[:] - acc[:]
 
 
 def syrk_lower(a, b, *, bt: int = _BT, interpret: bool = False,
-               n: int | None = None, a_off=(0, 0), fast: bool = False):
+               n: int | None = None, a_off=(0, 0), k: int | None = None):
     """``A - B @ B^T`` on the lower-triangle tiles only (bf16x3).
 
     Upper-triangle tiles of the result are never visited and contain
@@ -238,24 +248,27 @@ def syrk_lower(a, b, *, bt: int = _BT, interpret: bool = False,
     around the accumulate hurts the Mosaic pipeline more than one masked
     XLA pass costs) — don't retry. ``A`` is only read on its lower tiles.
     ``a_off`` reads the A block embedded in a larger buffer (see
-    :func:`trmm`); ``b`` is always a free-standing ``(n, n)`` value."""
-    n = b.shape[-1] if n is None else n
+    :func:`trmm`); ``b`` is always a free-standing ``(n, k)`` value
+    (``k`` = contraction width, default ``b.shape[-1]`` — rectangular for
+    the uneven Schur panels of gpx.ops.pallas_chol.chol_inv)."""
+    n = b.shape[0] if n is None else n
+    k = b.shape[-1] if k is None else k
     if a_off[0] % bt or a_off[1] % bt:
         raise ValueError(f"a_off must be multiples of bt={bt}: {a_off}")
-    if (b.shape != (n, n) or a.shape[0] < a_off[0] + n
-            or a.shape[1] < a_off[1] + n or n % bt):
+    if (b.shape != (n, k) or a.shape[0] < a_off[0] + n
+            or a.shape[1] < a_off[1] + n or n % bt or k % bt):
         raise ValueError(
             f"syrk_lower: a {a.shape} at {a_off} / b {b.shape} cannot hold"
-            f" ({n}, {n}) with {bt} | n"
+            f" ({n}, {k}) with {bt} | dims"
         )
-    nb = n // bt
+    nb, kb = n // bt, k // bt
     ii, jj, kk = [], [], []
     for i in range(nb):
         for j in range(i + 1):
-            for k in range(nb):
+            for kx in range(kb):
                 ii.append(i)
                 jj.append(j)
-                kk.append(k)
+                kk.append(kx)
     ii = jnp.asarray(np.asarray(ii, np.int32))
     jj = jnp.asarray(np.asarray(jj, np.int32))
     kk = jnp.asarray(np.asarray(kk, np.int32))
@@ -263,7 +276,7 @@ def syrk_lower(a, b, *, bt: int = _BT, interpret: bool = False,
         np.asarray([a_off[0] // bt, a_off[1] // bt], np.int32)
     )
 
-    body = functools.partial(_syrk_body, nb=nb, fast=fast)
+    body = functools.partial(_syrk_body, kb=kb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(int(ii.shape[0]),),

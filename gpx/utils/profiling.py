@@ -85,10 +85,10 @@ def profile_gp_stages(params, x, y, *, nugget: float = 1e-3, reps: int = 5):
     _ = solve_fn(l, y), tri_fn(l), vag_fn(params)
     jax.block_until_ready(_)
 
-    # the fused (power-of-2 N, TPU) path's factorization stage
+    # the fused (512 | N, TPU) path's factorization stage
     n = x.shape[0]
     ci_fn = None
-    if jax.default_backend() == "tpu" and n >= 4096 and (n & (n - 1)) == 0:
+    if jax.default_backend() == "tpu" and n >= 4096 and n % 512 == 0:
         from gpx.ops.pallas_chol import chol_inv
 
         ci_fn = jax.jit(chol_inv)

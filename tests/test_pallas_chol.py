@@ -25,6 +25,9 @@ def _spd(rng, n):
     (256, 128, 128),      # one recursion level
     (512, 128, 128),      # two levels
     (1024, 256, 128),     # bigger base tile, bt < base
+    (384, 128, 128),      # non-power-of-2: 256 + 128 uneven Schur split
+    (640, 128, 128),      # non-power-of-2: 512 + 128 (pow2 child recurses)
+    (1664, 256, 128),     # non-power-of-2: 1024 + 512 + 128, three leaves
 ])
 def test_chol_inv_matches_numpy(rng, n, base, bt, fast_compile):
     a = _spd(rng, n)
@@ -59,6 +62,55 @@ def test_chol_inv_fast_loosens_only_top_m21(rng):
     scale = np.abs(np.asarray(m3)[h:, :h]).max()
     diff = np.abs(np.asarray(m3)[h:, :h] - np.asarray(mf)[h:, :h]).max()
     assert 0 < diff < 2e-2 * scale       # loosened, but 2-pass-grade
+
+
+@pytest.mark.parametrize("fast_compile", [False, True])
+def test_chol_inv_fast_uneven_outermost(rng, fast_compile):
+    """fast=True at a non-power-of-2 size (both layouts): L unchanged,
+    only the outermost (rectangular) M21 panel loosens."""
+    n, h = 384, 256
+    a = _spd(rng, n)
+    kw = dict(base=128, bt=128, interpret=True, fast_compile=fast_compile)
+    l3, m3 = chol_inv(jnp.asarray(a), **kw)
+    lf, mf = chol_inv(jnp.asarray(a), fast=True, **kw)
+    np.testing.assert_array_equal(np.asarray(l3), np.asarray(lf))
+    np.testing.assert_array_equal(np.asarray(m3)[:h, :h],
+                                  np.asarray(mf)[:h, :h])
+    np.testing.assert_array_equal(np.asarray(m3)[h:, h:],
+                                  np.asarray(mf)[h:, h:])
+    scale = np.abs(np.asarray(m3)[h:, :h]).max()
+    diff = np.abs(np.asarray(m3)[h:, :h] - np.asarray(mf)[h:, :h]).max()
+    assert 0 < diff < 2e-2 * scale
+
+
+def test_trmm_rectangular_right_modes(rng):
+    """Rectangular B in the right trmm modes — the uneven-split panels."""
+    from gpx.ops.pallas_trmm import trmm as _trmm
+
+    n, m = 256, 128
+    b = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    l = jnp.asarray(np.tril(rng.normal(size=(n, n))), jnp.float32)
+    got_t = np.asarray(_trmm(b, l, mode="right_lower_t", bt=64, m=m,
+                             interpret=True))
+    want_t = np.asarray(b) @ np.asarray(l).T
+    assert got_t.shape == (m, n)
+    assert np.abs(got_t - want_t).max() < 3e-4 * max(np.abs(want_t).max(), 1.0)
+    got_r = np.asarray(_trmm(b, l, mode="right_lower", bt=64, m=m,
+                             interpret=True))
+    want_r = np.asarray(b) @ np.asarray(l)
+    assert got_r.shape == (m, n)
+    assert np.abs(got_r - want_r).max() < 3e-4 * max(np.abs(want_r).max(), 1.0)
+
+
+def test_syrk_lower_rectangular(rng):
+    n, k = 128, 256
+    a = jnp.asarray(rng.normal(size=(n, n)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(n, k)), jnp.float32)
+    got = np.asarray(syrk_lower(a, b, bt=64, interpret=True))
+    want = np.asarray(a) - np.asarray(b) @ np.asarray(b).T
+    il = np.tril_indices(n)
+    assert got.shape == (n, n)
+    assert np.abs(got[il] - want[il]).max() < 3e-4 * np.abs(want).max()
 
 
 def test_chol_inv_tile_reads_lower_triangle_only(rng):
@@ -158,3 +210,36 @@ def test_logdet_correction_terms(rng):
     # ~n*(2e-3)^2/2 ~ 5e-4 plus the f32 accumulation floor (~5e-3)
     assert abs(naive - truth) > 0.3
     assert abs(float(corrected) - truth) < 5e-2
+
+
+@pytest.mark.parametrize("n", [512, 384])
+def test_spine_factorization_and_solves(rng, n):
+    """spine=True: L bit-identical to the full recursion, trailing-spine
+    M21 blocks zero, and the spine solves reproduce L^{-1} b / L^{-T} b."""
+    from gpx.ops.pallas_chol import spine_solve_lower, spine_solve_lower_t
+
+    a = _spd(rng, n)
+    kw = dict(base=128, bt=128, interpret=True)
+    l_full, m_full = chol_inv(jnp.asarray(a), **kw)
+    l_sp, m_sp = chol_inv(jnp.asarray(a), spine=True, **kw)
+    np.testing.assert_array_equal(np.asarray(l_sp), np.asarray(l_full))
+    # trailing-spine M21 blocks are zero; everything else matches
+    h = 256
+    assert np.abs(np.asarray(m_sp)[h:, :h]).max() == 0.0
+    np.testing.assert_array_equal(np.asarray(m_sp)[:h, :h],
+                                  np.asarray(m_full)[:h, :h])
+
+    b = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    got_f = np.asarray(spine_solve_lower(l_sp, m_sp, b, base=128))
+    want_f = np.asarray(m_full) @ np.asarray(b)
+    scale = np.abs(want_f).max()
+    assert np.abs(got_f - want_f).max() < 5e-5 * scale
+    got_t = np.asarray(spine_solve_lower_t(l_sp, m_sp, b, base=128))
+    want_t = np.asarray(m_full).T @ np.asarray(b)
+    assert np.abs(got_t - want_t).max() < 5e-5 * np.abs(want_t).max()
+    # vector RHS shape passes through
+    v = jnp.asarray(rng.normal(size=n), jnp.float32)
+    assert spine_solve_lower(l_sp, m_sp, v, base=128).shape == (n,)
+
+    with pytest.raises(ValueError, match="spine"):
+        chol_inv(jnp.asarray(a), spine=True, fast=True, **kw)

@@ -336,3 +336,42 @@ def test_gridgp_kron_identity_on_chip(rng):
     s = gridgp.fit(p, axes, y, xs)
     assert bool(jnp.isfinite(s.mean).all())
     assert bool((s.variance > 0).all())
+
+
+def test_anyn_chol_inv_and_fused_logml(rng):
+    """Round-4 any-N generalization: a non-power-of-2 N (4608 = 4096+512,
+    uneven Schur split with rectangular trmm/syrk panels) must ride the
+    fused chol_inv path and match the XLA factorization / autodiff oracle
+    in compiled mode. This N is also off the 1024-grid, so it cross-checks
+    the off-grid precision rule (CLAUDE.md)."""
+    import gpx
+    from gpx.models import gp
+    from gpx.ops.pallas_chol import chol_inv
+
+    n = 4608
+    x = jnp.asarray(rng.uniform(-10, 10, size=(n, 1)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    params = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.se(3.0, 5.5) + gpx.white(0.5)
+    )
+    k = params.kernel.gram(x, nugget=1e-3)
+    l, m = jax.jit(chol_inv)(k)
+    l_x = jax.lax.linalg.cholesky(k)
+    scale = float(jnp.abs(l_x).max())
+    assert float(jnp.abs(l - l_x).max()) < 2e-2 * scale
+    resid = float(jnp.abs(
+        jnp.matmul(m, l, precision=jax.lax.Precision.HIGHEST)
+        - jnp.eye(n, dtype=jnp.float32)).max())
+    assert resid < 5e-2, resid
+
+    assert gp._fused_gate(params.kernel, n)[0]
+    v_f, g_f = jax.jit(lambda p: gp.logml_value_and_grad(p, x, y))(params)
+    v_a, g_a = jax.jit(
+        lambda p: gp.logml_value_and_grad(p, x, y, method="autodiff")
+    )(params)
+    assert abs(float(v_f) - float(v_a)) < 1e-3 * abs(float(v_a))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_f.kernel),
+        jax.tree_util.tree_leaves(g_a.kernel),
+    ):
+        np.testing.assert_allclose(float(a), float(b), rtol=2e-2, atol=0.5)
