@@ -316,8 +316,10 @@ class Ard(Kernel):
     row-blocked differentiable kernel. The base kernel's own lengthscale
     is redundant under Ard — fix it at 1 by convention (it still composes
     correctly if you don't; the product ``sigma·ell_d`` is just
-    unidentified). D > 8 inputs: the norms+matmul distance identity can
-    round coincident points away from exactly 0, so don't wrap White."""
+    unidentified). D > 8 inputs with a White term in the base are safe:
+    the distance build detects White and forces the exact broadcast-diff
+    form, so coincident points keep ``r2 == 0`` exactly (round-4 fix of
+    the r3 docstring-only footgun)."""
 
     base: Kernel
     ell: jnp.ndarray     # (D,) per-dimension lengthscales
@@ -333,11 +335,13 @@ class Ard(Kernel):
         from gpx.ops.distance import sq_distances
 
         s = 1.0 / self.ell
-        # symmetric call sites pass the same array twice: route through the
-        # one-argument form, which keeps the diagonal exactly zero (White
-        # semantics) at any D
-        r2w = (sq_distances(x1 * s) if x1 is x2
-               else sq_distances(x1 * s, x2 * s))
+        # exact distances whenever the base has a White term (duplicate
+        # points must keep r2 == 0 exactly at any D); symmetric call sites
+        # pass the same array twice: route through the one-argument form,
+        # which additionally zeroes the diagonal exactly
+        exact = x1.shape[-1] > 8 and has_white(self.base)
+        r2w = (sq_distances(x1 * s, exact=exact) if x1 is x2
+               else sq_distances(x1 * s, x2 * s, exact=exact))
         return self.base.evaluate_r2(jnp.maximum(r2w, 0.0))
 
     def bijectors(self):
@@ -403,6 +407,23 @@ class Product(Kernel):
 
     def bijectors(self):
         return Product(tuple(k.bijectors() for k in self.kernels))
+
+
+def has_white(kernel) -> bool:
+    """Whether the kernel tree contains a :class:`White` term anywhere.
+
+    The Gram builders use this to force exact (broadcast-subtract) squared
+    distances at D > 8: the norms+matmul identity can round duplicated
+    locations away from exactly 0, silently dropping White's contribution
+    at coincident points (reference semantics fire on *any* zero distance,
+    KernelFunction.scala:33-35)."""
+    if isinstance(kernel, White):
+        return True
+    if isinstance(kernel, (Sum, Product)):
+        return any(has_white(k) for k in kernel.kernels)
+    if isinstance(kernel, Ard):
+        return has_white(kernel.base)
+    return False
 
 
 def unwrap_ard(kernel, x, x2=None):

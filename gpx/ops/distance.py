@@ -43,13 +43,20 @@ def check_xy(x, y, what: str = "y"):
     return x, y
 
 
-def sq_distances(x1, x2=None):
+def sq_distances(x1, x2=None, *, exact: bool = False):
     """Pairwise squared Euclidean distances.
 
     Symmetric case (``x2 is None``) clamps at zero and zeroes the diagonal
     exactly, so kernels testing ``r2 == 0`` (White) behave like the
     reference's exact ``dist == 0`` check on the diagonal
     (KernelFunction.scala:33-35).
+
+    ``exact=True`` forces the broadcast-subtract form at any D: the
+    norms+matmul identity used for D > 8 can round *coincident points*
+    (duplicated locations, off the diagonal) away from exactly 0, which
+    silently breaks White's ``dist == 0`` semantics — the Gram builders
+    set this whenever a White kernel is present (gpx.ops.gram,
+    gpx.kernels.Ard).
     """
     x1 = as_locations(x1)
     symmetric = x2 is None
@@ -61,7 +68,7 @@ def sq_distances(x1, x2=None):
     center = jax.lax.stop_gradient(jnp.mean(x1, axis=0, keepdims=True))
     x1 = x1 - center
     x2 = x1 if symmetric else x2 - center
-    if x1.shape[-1] <= 8:
+    if exact or x1.shape[-1] <= 8:
         # Low-dimensional spatial inputs (the reference's One/Two locations):
         # the broadcast-subtract form is exact at coincident points (the
         # norms+matmul identity can round |x|^2+|y|^2-2x.y away from 0, which

@@ -32,11 +32,14 @@ _BM = 256
 _BN = 256
 
 
-def _tile_sq_dist(x1b, x2b, d: int):
+def _tile_sq_dist(x1b, x2b, d: int, exact: bool = False):
     """Squared distances between row blocks. For the small D of spatial GPs
     (1-2, Location.scala:5-13) a broadcast-subtract on the VPU beats an MXU
-    contraction over a length-D axis; for wide inputs use the MXU identity."""
-    if d <= 8:
+    contraction over a length-D axis; for wide inputs use the MXU identity.
+    ``exact`` forces the subtract form at any D — set when the kernel has a
+    White term, whose ``r2 == 0`` test must fire at duplicated points (the
+    MXU identity can round coincident points to tiny nonzero values)."""
+    if exact or d <= 8:
         r2 = jnp.zeros((x1b.shape[0], x2b.shape[0]), dtype=jnp.float32)
         for k in range(d):
             diff = x1b[:, k][:, None] - x2b[:, k][None, :]
@@ -54,7 +57,7 @@ def _tile_sq_dist(x1b, x2b, d: int):
     return n1[:, None] + n2[None, :] - 2.0 * dot
 
 
-def _gram_kernel(*refs, treedef, d, symmetric, nugget, bm, bn):
+def _gram_kernel(*refs, treedef, d, symmetric, nugget, bm, bn, exact=False):
     x1_ref, x2_ref = refs[0], refs[1]
     param_refs = refs[2:-1]
     out_ref = refs[-1]
@@ -64,7 +67,7 @@ def _gram_kernel(*refs, treedef, d, symmetric, nugget, bm, bn):
 
     x1b = x1_ref[:].astype(jnp.float32)
     x2b = x2_ref[:].astype(jnp.float32)
-    r2 = jnp.maximum(_tile_sq_dist(x1b, x2b, d), 0.0)
+    r2 = jnp.maximum(_tile_sq_dist(x1b, x2b, d, exact), 0.0)
 
     if symmetric:
         rows = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
@@ -120,6 +123,8 @@ def _pg(kernel, x, x2a, symmetric: bool, nugget: float, interpret: bool):
     bm, bn = min(_BM, _round_up(n1, 8)), min(_BN, _round_up(n2, 128))
     grid = (pl.cdiv(n1, bm), pl.cdiv(n2, bn))
 
+    from gpx.kernels import has_white
+
     body = functools.partial(
         _gram_kernel,
         treedef=treedef,
@@ -128,6 +133,9 @@ def _pg(kernel, x, x2a, symmetric: bool, nugget: float, interpret: bool):
         nugget=float(nugget),
         bm=bm,
         bn=bn,
+        # White at D > 8: exact (subtract-form) tile distances so duplicated
+        # points keep r2 == 0 (see _tile_sq_dist)
+        exact=d > 8 and has_white(kernel),
     )
 
     out = pl.pallas_call(
@@ -153,9 +161,11 @@ def _pg(kernel, x, x2a, symmetric: bool, nugget: float, interpret: bool):
 def _pg_reference(kernel, x, x2a, symmetric: bool, nugget: float):
     """The fused XLA expression the Pallas kernel implements — used for the
     backward pass (its VJP is exactly d(gram)/d(params, x))."""
+    from gpx.kernels import has_white
     from gpx.ops.distance import sq_distances
 
-    r2 = sq_distances(x, None if symmetric else x2a)
+    r2 = sq_distances(x, None if symmetric else x2a,
+                      exact=x.shape[-1] > 8 and has_white(kernel))
     k = kernel.evaluate_r2(r2)
     if symmetric and nugget:
         k = k + nugget * jnp.eye(k.shape[-1], dtype=k.dtype)

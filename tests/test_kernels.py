@@ -411,3 +411,43 @@ def test_ard_unwraps_to_pallas_paths(rng):
     assert np.all(np.isfinite(np.asarray(g.ell))) and np.all(
         np.asarray(g.ell) != 0.0
     )
+
+
+def test_white_exact_at_duplicated_points_high_d(rng):
+    """White's ``dist == 0`` semantics at D=16 with duplicated locations
+    (VERDICT r3 weak-7): the D > 8 matmul distance identity can round
+    coincident points to tiny nonzero r2, silently dropping White's
+    off-diagonal contribution. The gram builders must detect White and
+    force exact broadcast-diff distances — under Ard, in plain sums, and
+    on the Pallas tile path."""
+    import gpx
+    from gpx.kernels import has_white
+    from gpx.ops.gram import gram
+    from gpx.ops.pallas_gram import pallas_gram
+
+    d, n = 16, 64
+    xs = rng.uniform(-50.0, 50.0, size=(n, d)).astype(np.float32)
+    xs[1] = xs[0]          # exact duplicate pair, off-diagonal
+    xs[40] = xs[7]
+    x = jnp.asarray(xs)
+    k = se(2.0, 3.0) + white(0.7)
+    assert has_white(k) and not has_white(se(2.0, 3.0))
+
+    kk = np.asarray(gram(k, x, method="xla"))
+    # duplicate pairs must carry the full White term exactly: k(x0, x1) =
+    # se(0) + 0.7 = 2.0 + 0.7
+    np.testing.assert_allclose(kk[0, 1], 2.7, rtol=1e-6)
+    np.testing.assert_allclose(kk[40, 7], 2.7, rtol=1e-6)
+
+    # Ard wrapper with White in the base
+    ka = gpx.ard(k, jnp.asarray(rng.uniform(0.5, 2.0, size=d), jnp.float32))
+    kka = np.asarray(gram(ka, x, method="xla"))
+    np.testing.assert_allclose(kka[0, 1], 2.7, rtol=1e-6)
+    # nested inside a Sum (the unwrap_ard fast path does not fire)
+    knest = gpx.ard(white(0.7), jnp.ones(d, jnp.float32)) + se(2.0, 3.0)
+    kkn = np.asarray(gram(knest, x, method="xla"))
+    np.testing.assert_allclose(kkn[0, 1], 2.7, rtol=1e-6)
+
+    # Pallas tile path (interpret mode off-TPU)
+    kp = np.asarray(pallas_gram(k, x, interpret=True))
+    np.testing.assert_allclose(kp[0, 1], 2.7, rtol=1e-6)
