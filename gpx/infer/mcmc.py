@@ -248,6 +248,12 @@ def sample_hmc(
     N=16k. ``fast_warmup=True`` (requires analytic_gradients) runs the
     *warmup* leapfrogs at the 2-pass warmup-grade split (~10%% less MXU
     time per gradient at 16k, PERF.md) while kept draws stay exact.
+    Compile-time tradeoff: the warmup density is a SECOND separately-jitted
+    custom_vjp program, and this platform has no persistent compile cache —
+    at N=16k that roughly doubles the multi-minute first compile to save
+    ~10%% of warmup runtime, so it only pays off for long chains (or with
+    ``gpx.utils.aot.cached_compile`` absorbing the compiles; see
+    docs/large_n.md).
     Passing a ``jax.sharding.Mesh`` as ``mesh`` instead runs every
     likelihood AND leapfrog gradient through the distributed panel
     Cholesky (gpx.parallel.distributed_logml) with K row-sharded over

@@ -69,6 +69,9 @@ def test_rejects_unaligned_n(rng):
 @pytest.mark.parametrize("base_fn", [
     lambda: se(3.0, 1.0) + white(0.5),
     lambda: matern(2.0, 2.5, 1.0) + white(0.25),
+    # Product base: the ard=True leg must handle per-leaf structure beyond
+    # Sum-of-(SE|Matern)+White (ADVICE r3 — previously untested)
+    lambda: se(2.0, 3.0) * matern(1.0, 2.5, 4.0) + white(0.1),
 ])
 def test_ard_lengthscale_grads_match_autodiff(rng, base_fn):
     """ard=True on pre-scaled coordinates: the extra per-dimension sums turn
@@ -93,3 +96,82 @@ def test_ard_lengthscale_grads_match_autodiff(rng, base_fn):
         jax.tree_util.tree_leaves(want.kernel.base),
     ):
         np.testing.assert_allclose(float(a), float(b), rtol=1e-2, atol=1e-3)
+
+
+def test_ard_high_d_near_output_guard(rng):
+    """D pushed to just under the 128-fused-output SMEM guard (ADVICE r3):
+    the per-dimension sdot outputs must stay correct when they nearly fill
+    the (1, 128) output tile, and one more dimension must raise."""
+    from gpx import ard
+
+    d = 120  # SE(2 leaves) + white(1) + correction(2) + 120 = 125 <= 128
+    ell = jnp.asarray(rng.uniform(0.8, 2.5, size=d), jnp.float32)
+    kernel = ard(se(3.0, 4.0) + white(0.5), ell)
+    p, x, y, alpha, l_inv = _setup(rng, kernel, n=128, d=d)
+    d_base, (tkw, trw), sdot = logml_kernel_grads(
+        kernel.base, x / ell, alpha, l_inv, bt=64, interpret=True,
+        with_correction=True, ard=True,
+    )
+    d_ell = -2.0 * sdot / ell
+    _, want = gp.logml_value_and_grad(p, x, y, method="autodiff")
+    np.testing.assert_allclose(
+        np.asarray(d_ell), np.asarray(want.kernel.ell), rtol=1e-2, atol=2e-3
+    )
+    with pytest.raises(ValueError, match="128"):
+        logml_kernel_grads(
+            kernel.base, jnp.pad(x, ((0, 0), (0, 4))), alpha, l_inv,
+            bt=64, interpret=True, with_correction=True, ard=True,
+        )
+
+
+def test_probe_grads_exact_with_identity_probes(rng):
+    """With Z = sqrt(n) I the Hutchinson estimate is EXACT (Z Z^T = n I),
+    so logml_probe_grads must reproduce the exact fused kernel to f32
+    round-off — separates the kernel's correctness from probe variance."""
+    from gpx.ops.pallas_logml_grad import logml_probe_grads
+
+    kernel = se(3.0, 5.5) + white(0.5)
+    p, x, y, alpha, l_inv = _setup(rng, kernel, n=128)
+    n = 128
+    z = jnp.sqrt(jnp.float32(n)) * jnp.eye(n, dtype=jnp.float32)
+    k_inv = jnp.asarray(np.asarray(l_inv).T @ np.asarray(l_inv), jnp.float32)
+    u = k_inv @ z
+    got, (tkw, trw) = logml_probe_grads(
+        p.kernel, x, alpha, u, z, bt=64, interpret=True,
+        with_correction=True,
+    )
+    want, (tkw_e, trw_e) = logml_kernel_grads(
+        p.kernel, x, alpha, l_inv, bt=64, interpret=True,
+        with_correction=True,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(tkw), float(tkw_e), rtol=1e-3)
+    np.testing.assert_allclose(float(trw), float(trw_e), rtol=1e-3)
+
+
+def test_hybrid_logml_matches_analytic(rng):
+    """End-to-end hybrid (spine chol + probe solves + rank-s contraction)
+    vs the exact path at n=512 on CPU (interpret mode): value to ~1e-3,
+    gradients to Hutchinson-variance tolerance at s=256."""
+    from gpx.models.gp import _logml_value_and_grad_hybrid
+
+    kernel = se(3.0, 5.5) + white(0.5)
+    x = jnp.asarray(rng.uniform(-10, 10, size=(512, 1)), jnp.float32)
+    p = Parameters(mean=zero(), kernel=kernel)
+    y = jnp.asarray(rng.normal(size=512), jnp.float32)
+
+    v_h, g_h = _logml_value_and_grad_hybrid(
+        p, x, y, gp.LOGML_NUGGET, probes=256,
+        key=jax.random.PRNGKey(5), interpret=True,
+    )
+    v_e, g_e = gp.logml_value_and_grad(p, x, y, method="autodiff")
+    assert abs(float(v_h) - float(v_e)) < 2e-3 * abs(float(v_e)), (
+        float(v_h), float(v_e)
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g_h.kernel),
+                    jax.tree_util.tree_leaves(g_e.kernel)):
+        # trace-dominated components carry ~sqrt(2/(s n)) ~ 4e-3 relative
+        # probe noise; small components are absolute-noise-limited
+        np.testing.assert_allclose(float(a), float(b), rtol=5e-2, atol=2.0)
