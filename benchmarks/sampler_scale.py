@@ -18,6 +18,15 @@ Usage (run in background on chip; compiles are minutes at N=16k):
     python benchmarks/sampler_scale.py --sampler nuts --n 16384
 
 Prints one JSON line: ms/sample, ms/leapfrog-grad, samples/s, mean depth.
+
+``--ess`` (round 4, VERDICT Next-5) runs the accuracy-qualified variant:
+data simulated FROM the model at known hyperparameters, full adaptive
+warmup (fast_warmup 2-pass gradients) + exact kept draws, then ESS/R-hat
+via gpx.diagnostics and a posterior-recovery assertion (every true
+hyperparameter inside the pooled central 98% interval) — ESS/sec with the
+accuracy leg attached, tying the >=100x north star into one artifact:
+    python benchmarks/sampler_scale.py --ess --sampler hmc --n 4096 \
+        --n-samples 128 --warmup 64 --l 5
 """
 
 import argparse
@@ -56,6 +65,85 @@ def make_data(n: int):
         + 0.5 * jax.random.normal(k2, (n,))
     )
     return x.reshape(-1, 1), y
+
+
+TRUE_H, TRUE_SIGMA, TRUE_NOISE = 3.0, 5.5, 0.5
+
+
+def run_ess(args):
+    """Accuracy-qualified ESS/sec (VERDICT Next-5): simulate y from the
+    model at known hyperparameters, sample with adaptive warmup
+    (fast-warmup gradients) + exact kept draws, report min-ESS/sec and
+    assert recovery."""
+    import gpx.diagnostics as diag
+    from gpx.models import gp
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jnp.sort(
+        jax.random.uniform(k1, (args.n,), minval=-10.0, maxval=10.0)
+    ).reshape(-1, 1)
+    truth = gpx.Parameters(
+        mean=gpx.zero(),
+        kernel=gpx.se(TRUE_H, TRUE_SIGMA) + gpx.white(TRUE_NOISE),
+    )
+    y = gp.draw(k2, truth, x)
+
+    template = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.se(2.0, 2.0) + gpx.white(1.0)
+    )
+    sample = lambda key: sample_hmc(  # noqa: E731
+        key, x, y, template, log_prior,
+        n_samples=args.n_samples, l=args.l, eps=None,
+        warmup_iters=args.warmup, n_chains=args.n_chains,
+        analytic_gradients=True, fast_warmup=not args.cpu,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.perf_counter()
+    post = sample(key)
+    float(jnp.sum(post.flat))
+    wall_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    post = sample(jax.random.fold_in(key, 1))
+    float(jnp.sum(post.flat))
+    wall = time.perf_counter() - t0
+
+    rows = diag.summary(post.flat, post.names)
+    table = diag.format_summary(rows)
+    print(table)
+    min_ess = min(r["ess"] for r in rows.values())
+    max_rhat = max(r["rhat"] for r in rows.values())
+    # recovery: every true hyperparameter inside the pooled central 98%
+    # interval (wider than summary's 90% table; recomputed here)
+    pooled = np.asarray(post.flat).reshape(-1, post.flat.shape[-1])
+    q1, q99 = np.percentile(pooled, [1.0, 99.0], axis=0)
+    true_vals = dict(zip(
+        post.names, [TRUE_H, TRUE_SIGMA, TRUE_NOISE], strict=False
+    ))
+    recovered = {
+        name: bool(q1[j] <= true_vals[name] <= q99[j])
+        for j, name in enumerate(post.names)
+    }
+    out = {
+        "mode": "ess",
+        "sampler": "hmc",
+        "n": args.n,
+        "n_chains": args.n_chains,
+        "warmup": args.warmup,
+        "n_samples": args.n_samples,
+        "l": args.l,
+        "accept_rate": float(np.asarray(post.accept_rate).mean()),
+        "min_ess": round(min_ess, 1),
+        "max_rhat": round(max_rhat, 4),
+        "wall_s": round(wall, 2),
+        "wall_compile_s": round(wall_compile, 1),
+        "min_ess_per_s": round(min_ess / wall, 2),
+        "recovered": recovered,
+        "recovery_ok": all(recovered.values()),
+    }
+    print(json.dumps(out))
+    if not out["recovery_ok"]:
+        sys.exit(1)
 
 
 def run(args):
@@ -134,4 +222,15 @@ if __name__ == "__main__":
         "--cpu", action="store_true",
         help="force the CPU backend (smoke-testing the harness off-chip)",
     )
-    run(ap.parse_args())
+    ap.add_argument(
+        "--ess", action="store_true",
+        help="accuracy-qualified mode: simulate-from-model data, adaptive "
+        "warmup + exact kept draws, ESS/sec + recovery assertion",
+    )
+    ap.add_argument("--warmup", type=int, default=64)
+    ap.add_argument("--n-chains", type=int, default=2)
+    cli = ap.parse_args()
+    if cli.ess:
+        run_ess(cli)
+    else:
+        run(cli)
