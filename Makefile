@@ -2,6 +2,10 @@
 
 N_ITERS ?= 1000
 
+# gpx is run from the source tree (no install step) — put it on the path
+# for every target so `make ...` works from a clean shell.
+export PYTHONPATH := $(CURDIR):$(PYTHONPATH)
+
 simulated:
 	python examples/simulated_gp.py simulate
 	python examples/simulated_gp.py fit
@@ -39,6 +43,10 @@ large_n:
 	python examples/large_n.py iterative
 	python examples/large_n.py svgp
 
+# regenerate the checked-in golden figures (docs/figures/*.png) on CPU
+figures:
+	python scripts/make_figures.py
+
 test:
 	python -m pytest tests/ -q
 
@@ -68,5 +76,5 @@ bench-grid:
 
 .PHONY: simulated hmc_simulated posterior_predictive fit_temp_gp \
 	krig_temperature fit_temp_dlm forecast_temperature_dlm fit_dlm_gp \
-	icm_temperature mnist large_n test test-tpu bench bench-roofline \
+	icm_temperature mnist large_n figures test test-tpu bench bench-roofline \
 	bench-samplers bench-multioutput bench-grid
