@@ -158,14 +158,25 @@ def main():
         jax.block_until_ready(m)
         compile_s = time.time() - t0
         ms = time_calls(fn, k) * 1e3
+        # compare LOWER triangles only: syrk_lower/the panel assemblies
+        # leave upper tiles uninitialized (on chip: garbage, possibly NaN);
+        # residual computed on device (a 16k matmul is minutes on this host)
+        l = jnp.tril(l)
+        m = jnp.tril(m)
+        resid = float(jax.jit(
+            lambda l, k: jnp.abs(
+                jnp.dot(l, l.T, precision=jax.lax.Precision.HIGHEST) - k
+            ).max()
+        )(l, k))
         if ref is None:
             ref = (l, m)
-            print(f"{name}: {ms:.1f} ms/call (compile {compile_s:.0f}s)")
+            print(f"{name}: {ms:.1f} ms/call (compile {compile_s:.0f}s)  "
+                  f"|LL^T-A|={resid:.3g}")
         else:
             dl = float(jnp.abs(l - ref[0]).max())
             dm = float(jnp.abs(m - ref[1]).max())
             print(f"{name}: {ms:.1f} ms/call (compile {compile_s:.0f}s)  "
-                  f"|dL|={dl:.3g} |dM|={dm:.3g}")
+                  f"|LL^T-A|={resid:.3g} |dL|={dl:.3g} |dM|={dm:.3g}")
 
 
 if __name__ == "__main__":
