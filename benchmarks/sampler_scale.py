@@ -91,11 +91,28 @@ def run_ess(args):
     template = gpx.Parameters(
         mean=gpx.zero(), kernel=gpx.se(2.0, 2.0) + gpx.white(1.0)
     )
+    # production workflow (docs/parameter_inference.md): MAP-init the
+    # chains via type-II optimization, then HMC with mass adaptation.
+    # At N=4096 the posterior is so tight that template-initialized
+    # chains with a unit mass matrix crawl (measured: accept 1.0,
+    # R-hat > 60 after 256 adaptive warmup iters) — that is a bad
+    # WORKFLOW, not a throughput number worth reporting.
+    from gpx.models.optimize import optimize
+
+    t0 = time.perf_counter()
+    map_res = optimize(template, x, y, log_prior=log_prior, steps=60)
+    init = jax.block_until_ready(map_res.params)
+    map_s = time.perf_counter() - t0
+    print(f"MAP init ({map_s:.1f}s incl. compile):",
+          jax.tree_util.tree_leaves(init))
+
     sample = lambda key: sample_hmc(  # noqa: E731
-        key, x, y, template, log_prior,
+        key, x, y, init, log_prior,
         n_samples=args.n_samples, l=args.l, eps=None,
         warmup_iters=args.warmup, n_chains=args.n_chains,
-        analytic_gradients=True, fast_warmup=not args.cpu,
+        adapt_mass=True, init_jitter=0.02,
+        analytic_gradients=True,
+        fast_warmup=not args.cpu and not args.exact_warmup,
     )
 
     key = jax.random.PRNGKey(args.seed)
@@ -221,6 +238,11 @@ if __name__ == "__main__":
     ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (smoke-testing the harness off-chip)",
+    )
+    ap.add_argument(
+        "--exact-warmup", action="store_true",
+        help="ess mode: run the adaptive warmup on the exact gradient "
+        "program instead of the 2-pass fast_warmup one",
     )
     ap.add_argument(
         "--ess", action="store_true",

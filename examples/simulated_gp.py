@@ -75,7 +75,7 @@ def cmd_fit(args):
 
 
 def cmd_parameters(args):
-    x, y = _simulate(jax.random.PRNGKey(args.seed))
+    x, y = _simulate(jax.random.PRNGKey(args.seed), n=args.n)
     xobs, yobs = x[::15], y[::15]
     template = gpx.Parameters(
         mean=gpx.zero(), kernel=gpx.se(1.0, 1.0) + gpx.white(1.0)
@@ -136,6 +136,12 @@ def main():
     ])
     ap.add_argument("n_iters", nargs="?", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--n", type=int, default=300,
+        help="simulated dataset size (the reference fixes 300, "
+        "SimulatedGp.scala:43; larger values exercise the chip-scale "
+        "workflow, e.g. the tests_tpu example lane runs --n 2048)",
+    )
     args = ap.parse_args()
     OUT.mkdir(exist_ok=True)
     {

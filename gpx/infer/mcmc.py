@@ -253,7 +253,12 @@ def sample_hmc(
     at N=16k that roughly doubles the multi-minute first compile to save
     ~10%% of warmup runtime, so it only pays off for long chains (or with
     ``gpx.utils.aot.cached_compile`` absorbing the compiles; see
-    docs/large_n.md).
+    docs/large_n.md). CAUTION (measured, PERF.md round 4): combine
+    ``fast_warmup`` with a FIXED ``eps`` only — the 2-pass program's
+    warmup-grade *value* loosening destroys the O(1)-resolution energy
+    differences dual averaging needs at large N (at N=4096 on chip the
+    adaptation collapsed: accept 1.0, step size ~0, chains frozen at
+    their inits). When ``eps=None``, leave ``fast_warmup=False``.
     Passing a ``jax.sharding.Mesh`` as ``mesh`` instead runs every
     likelihood AND leapfrog gradient through the distributed panel
     Cholesky (gpx.parallel.distributed_logml) with K row-sharded over
@@ -264,7 +269,8 @@ def sample_hmc(
         mesh=mesh, mesh_axis=mesh_axis, panel=panel,
     )
     warmup_log_density = _fast_warmup_density(
-        fast_warmup, analytic_gradients, mesh, x, y, log_prior, nugget
+        fast_warmup, analytic_gradients, mesh, x, y, log_prior, nugget,
+        eps=eps,
     )
     sequential = analytic_gradients or mesh is not None or x.shape[0] >= 8192
     return sample_hmc_log_density(
@@ -277,13 +283,24 @@ def sample_hmc(
 
 
 def _fast_warmup_density(fast_warmup, analytic_gradients, mesh, x, y,
-                         log_prior, nugget):
+                         log_prior, nugget, eps=0.0):
     if not fast_warmup:
         return None
     if not analytic_gradients or mesh is not None:
         raise ValueError(
             "fast_warmup=True runs the warmup on the 2-pass fused gradient "
             "path — it requires analytic_gradients=True and no mesh"
+        )
+    if eps is None and x.shape[0] >= 2048:
+        import warnings
+
+        warnings.warn(
+            "fast_warmup=True with adaptive eps at large N: the 2-pass "
+            "program's warmup-grade logML loosening can collapse dual "
+            "averaging (measured at N=4096 on chip: accept 1.0, step size "
+            "~0, frozen chains — PERF.md round 4). Adapt eps on the exact "
+            "program (fast_warmup=False) or pass a fixed eps.",
+            stacklevel=3,
         )
     return _gp_log_density(
         x, y, log_prior, nugget, analytic_gradients=True,
@@ -517,7 +534,8 @@ def sample_nuts(
         mesh=mesh, mesh_axis=mesh_axis, panel=panel,
     )
     warmup_log_density = _fast_warmup_density(
-        fast_warmup, analytic_gradients, mesh, x, y, log_prior, nugget
+        fast_warmup, analytic_gradients, mesh, x, y, log_prior, nugget,
+        eps=eps,
     )
     return sample_nuts_log_density(
         key, template, log_density, n_samples,

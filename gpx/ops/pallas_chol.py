@@ -42,6 +42,7 @@ to the factorization precision to second order.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,11 @@ from gpx.ops.pallas_trmm import _dot_bf16x2, _dot_bf16x3, syrk_lower, trmm
 _BT = 512        # trmm/syrk tile
 _BASE_TILE = 2048  # single-program Pallas base case
 _BASE = 128      # unblocked VPU Cholesky width inside the base case
+
+# value-layout default: "panel" (flat right-looking sweep) vs "recursion"
+# (binary Schur recursion) — chosen by the in-situ chip A/B (PERF.md r4);
+# GPX_CHOL_LAYOUT overrides for A/B runs (bench.py with each layout)
+DEFAULT_LAYOUT = os.environ.get("GPX_CHOL_LAYOUT", "recursion")
 
 
 def _dot_h(a, b):
@@ -313,9 +319,96 @@ def _rec_value(a, *, base: int, bt: int, interpret: bool,
     return l, m
 
 
+def _leaf_sizes(n: int, base: int) -> list[int]:
+    """Leaf sequence of the panel sweep: greedy ``base`` panels, then the
+    binary decomposition of the remainder in descending order — exactly
+    the leaf set (sizes AND offsets) of the :func:`_split` recursion, so
+    the panel factorization and the recursive inverse assembly agree on
+    where the leaf inverses live."""
+    sizes = []
+    while n >= base:
+        sizes.append(base)
+        n -= base
+    while n:
+        p = 1 << (n.bit_length() - 1)
+        sizes.append(p)
+        n -= p
+    return sizes
+
+
+def _m_assemble(l, leaves, off: int, t: int, *, base: int, bt: int,
+                interpret: bool, fast: bool = False, spine: bool = False):
+    """Recursive inverse assembly over a fully-factored ``l``: the exact
+    M21 trmm structure of :func:`_rec_value`, reading leaf inverses from
+    ``leaves`` (offset -> M block) and L21 panels from ``l`` at trmm
+    offsets (no slice copies). ``fast``/``spine`` semantics are identical
+    to :func:`_rec_value` (outermost-only / trailing-spine-only)."""
+    if t <= base and (t & (t - 1)) == 0:
+        return leaves[off]
+    h = _split(t)
+    r = t - h
+    kw = dict(bt=bt, interpret=interpret)
+    m11 = _m_assemble(l, leaves, off, h, base=base, **kw)
+    m22 = _m_assemble(l, leaves, off + h, r, base=base, **kw, spine=spine)
+    if spine:
+        m21 = jnp.zeros((r, h), jnp.float32)
+    else:
+        t1 = trmm(l, m11, mode="right_lower", b_off=(off + h, off), n=h,
+                  m=r, neg=True, fast=fast, **kw)
+        m21 = trmm(t1, m22, mode="left_lower", fast=fast, **kw)
+    z = jnp.zeros((h, r), jnp.float32)
+    return jnp.concatenate(
+        [jnp.concatenate([m11, z], 1), jnp.concatenate([m21, m22], 1)], 0
+    )
+
+
+def _panel_value(a, *, base: int, bt: int, interpret: bool,
+                 fast: bool = False, spine: bool = False):
+    """Flat right-looking panel factorization + recursive inverse assembly
+    (round-4 A/B winner, benchmarks/panel_lookahead_ab.py: 84.4 vs
+    98.9 ms/call for the binary recursion at N=16k on chip — the flat
+    sweep hands XLA/Mosaic uniform rank-``base`` syrk/trmm steps instead
+    of the recursion's log-depth mix of sweep sizes).
+
+    The factorization is the classic right-looking order — per leaf:
+    ``(Lkk, Mkk) = chol_inv_tile(diag)``, ``Lk = A[k+1:,k] @ Mkk^T``
+    (trmm), ``trail -= Lk Lk^T`` (syrk_lower) — over the
+    :func:`_leaf_sizes` panel sequence, so any N divisible by ``bt``
+    rides through (the tail panels are the binary decomposition of
+    ``N mod base``). The inverse is then assembled by the same
+    binary-split M21 trmms as :func:`_rec_value`. Same MAC count as the
+    recursion; only the Schur-update ASSOCIATION differs (one rank-base
+    update per panel instead of nested rank-h updates), so results agree
+    with the recursion to bf16x3 rounding (~7e-4 absolute on the
+    cond~1e5 16k Gram)."""
+    n = a.shape[-1]
+    kw = dict(bt=bt, interpret=interpret)
+    leaves = {}
+    cols = []
+    off = 0
+    trail = a
+    for b in _leaf_sizes(n, base):
+        lkk, mkk = chol_inv_tile(trail[:b, :b], interpret=interpret)
+        leaves[off] = mkk
+        r = trail.shape[0] - b
+        parts = [] if not off else [jnp.zeros((off, b), jnp.float32)]
+        parts.append(lkk)
+        if r:
+            lk = trmm(trail[b:, :b], mkk, mode="right_lower_t", n=b, m=r,
+                      **kw)
+            trail = syrk_lower(trail[b:, b:], lk, **kw)
+            parts.append(lk)
+        cols.append(jnp.concatenate(parts, 0) if len(parts) > 1 else parts[0])
+        off += b
+    l = jnp.concatenate(cols, 1) if len(cols) > 1 else cols[0]
+    m = _m_assemble(l, leaves, 0, n, base=base, fast=fast, spine=spine, **kw)
+    return l, m
+
+
 def chol_inv(a, *, base: int = _BASE_TILE, bt: int = _BT,
              interpret: bool = False, fast_compile: bool = False,
-             fast: bool = False, spine: bool = False):
+             fast: bool = False, spine: bool = False,
+             layout: str | None = None):
     """``(L, L^{-1})`` of an SPD f32 matrix, lower triangular.
 
     ``n`` must be a multiple of the sweep tile ``bt`` (or a power of two
@@ -339,18 +432,25 @@ def chol_inv(a, *, base: int = _BASE_TILE, bt: int = _BT,
     :func:`spine_solve_lower` / :func:`spine_solve_lower_t` and the trace
     term is probe-estimated instead of needing the dense inverse.
 
-    Two layouts (measured A/B on chip at N=16k, round 3):
+    Three layouts (measured A/Bs on chip at N=16k, rounds 3-4 — PERF.md):
 
-    * default (value recursion, per-level concatenate assembly): 79 ms/call
-      but ~224 s compile — XLA flattens the nested concatenates into
-      single writes, so the VERDICT-r2 hypothesis that they cost ~N^2 HBM
-      per level was WRONG; don't re-attempt to "optimize them away".
+    * ``layout="recursion"`` (value recursion, per-level concatenate
+      assembly): XLA flattens the nested concatenates into single writes,
+      so the VERDICT-r2 hypothesis that they cost ~N^2 HBM per level was
+      WRONG; don't re-attempt to "optimize them away".
+    * ``layout="panel"`` (flat right-looking panel factorization +
+      recursive inverse assembly, round 4): standalone 83.9 vs the
+      recursion's 98.1 ms/call — see :func:`_panel_value` and the in-situ
+      A/B in PERF.md for which is the default.
     * ``fast_compile=True`` (in-place: kernels read operands at scalar-
       prefetched tile offsets from the full-size buffers; blocks land once
       via dynamic_update_slice; Schur complements staged inside ``l``):
-      83.5 ms/call, ~37 s compile — for interactive/unjitted-cache use
-      where this platform's missing persistent compile cache makes the
-      224 s dominate.
+      fastest compile (~37 s vs ~224 s round-3) — for interactive/
+      unjitted-cache use where this platform's missing persistent compile
+      cache makes the compile dominate.
+
+    ``layout=None`` takes the module default ``DEFAULT_LAYOUT``
+    (overridable via the ``GPX_CHOL_LAYOUT`` env var for A/B runs).
     """
     n = a.shape[-1]
     pow2 = n > 0 and (n & (n - 1)) == 0
@@ -370,9 +470,14 @@ def chol_inv(a, *, base: int = _BASE_TILE, bt: int = _BT,
     a = jnp.asarray(a, jnp.float32)
     if n <= base and pow2:
         return chol_inv_tile(a, interpret=interpret, fast=fast)
+    if layout is None:
+        layout = DEFAULT_LAYOUT
+    if layout not in ("panel", "recursion"):
+        raise ValueError(f"unknown chol_inv layout: {layout!r}")
     if not fast_compile:
-        return _rec_value(a, base=base, bt=bt, interpret=interpret,
-                          fast=fast, spine=spine)
+        value = _panel_value if layout == "panel" else _rec_value
+        return value(a, base=base, bt=bt, interpret=interpret,
+                     fast=fast, spine=spine)
     l = jnp.zeros((n, n), jnp.float32)
     m = jnp.zeros((n, n), jnp.float32)
     l, m = _rec(a, 0, n, l, m, base=base, bt=bt, interpret=interpret,

@@ -19,7 +19,7 @@ def _spd(rng, n):
     return (a @ a.T + n * np.eye(n)).astype(np.float32)
 
 
-@pytest.mark.parametrize("fast_compile", [False, True])
+@pytest.mark.parametrize("variant", ["recursion", "panel", "inplace"])
 @pytest.mark.parametrize("n,base,bt", [
     (128, 128, 128),      # single-tile base case only
     (256, 128, 128),      # one recursion level
@@ -29,10 +29,11 @@ def _spd(rng, n):
     (640, 128, 128),      # non-power-of-2: 512 + 128 (pow2 child recurses)
     (1664, 256, 128),     # non-power-of-2: 1024 + 512 + 128, three leaves
 ])
-def test_chol_inv_matches_numpy(rng, n, base, bt, fast_compile):
+def test_chol_inv_matches_numpy(rng, n, base, bt, variant):
     a = _spd(rng, n)
-    l, m = chol_inv(jnp.asarray(a), base=base, bt=bt, interpret=True,
-                    fast_compile=fast_compile)
+    kw = (dict(fast_compile=True) if variant == "inplace"
+          else dict(layout=variant))
+    l, m = chol_inv(jnp.asarray(a), base=base, bt=bt, interpret=True, **kw)
     l_ref = np.linalg.cholesky(a.astype(np.float64))
     m_ref = np.linalg.inv(l_ref)
     scale_l = np.abs(l_ref).max()
@@ -44,15 +45,17 @@ def test_chol_inv_matches_numpy(rng, n, base, bt, fast_compile):
     assert np.abs(np.triu(np.asarray(m), 1)).max() == 0.0
 
 
-def test_chol_inv_fast_loosens_only_top_m21(rng):
+@pytest.mark.parametrize("layout", ["recursion", "panel"])
+def test_chol_inv_fast_loosens_only_top_m21(rng, layout):
     """fast=True: L is UNCHANGED (the factor chain never sees the 2-pass
     split), the diagonal blocks of M are unchanged, and only the outermost
     M21 block loosens to the ~2^-9 bf16x2 envelope."""
     n = 512
     a = _spd(rng, n)
-    l3, m3 = chol_inv(jnp.asarray(a), base=128, bt=128, interpret=True)
+    l3, m3 = chol_inv(jnp.asarray(a), base=128, bt=128, interpret=True,
+                      layout=layout)
     lf, mf = chol_inv(jnp.asarray(a), base=128, bt=128, interpret=True,
-                      fast=True)
+                      fast=True, layout=layout)
     np.testing.assert_array_equal(np.asarray(l3), np.asarray(lf))
     h = n // 2
     np.testing.assert_array_equal(np.asarray(m3)[:h, :h],
@@ -212,14 +215,15 @@ def test_logdet_correction_terms(rng):
     assert abs(float(corrected) - truth) < 5e-2
 
 
+@pytest.mark.parametrize("layout", ["recursion", "panel"])
 @pytest.mark.parametrize("n", [512, 384])
-def test_spine_factorization_and_solves(rng, n):
+def test_spine_factorization_and_solves(rng, n, layout):
     """spine=True: L bit-identical to the full recursion, trailing-spine
     M21 blocks zero, and the spine solves reproduce L^{-1} b / L^{-T} b."""
     from gpx.ops.pallas_chol import spine_solve_lower, spine_solve_lower_t
 
     a = _spd(rng, n)
-    kw = dict(base=128, bt=128, interpret=True)
+    kw = dict(base=128, bt=128, interpret=True, layout=layout)
     l_full, m_full = chol_inv(jnp.asarray(a), **kw)
     l_sp, m_sp = chol_inv(jnp.asarray(a), spine=True, **kw)
     np.testing.assert_array_equal(np.asarray(l_sp), np.asarray(l_full))
