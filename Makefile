@@ -47,6 +47,11 @@ large_n:
 figures:
 	python scripts/make_figures.py
 
+# render docs/*.md into the static microsite under site/ (the reference
+# publishes the same deliverable via scripts/publishMicrosite.sh)
+site:
+	python scripts/build_site.py
+
 test:
 	python -m pytest tests/ -q
 
@@ -76,5 +81,5 @@ bench-grid:
 
 .PHONY: simulated hmc_simulated posterior_predictive fit_temp_gp \
 	krig_temperature fit_temp_dlm forecast_temperature_dlm fit_dlm_gp \
-	icm_temperature mnist large_n figures test test-tpu bench bench-roofline \
+	icm_temperature mnist large_n figures site test test-tpu bench bench-roofline \
 	bench-samplers bench-multioutput bench-grid
