@@ -20,8 +20,9 @@ Usage (run in background on chip; compiles are minutes at N=16k):
 Prints one JSON line: ms/sample, ms/leapfrog-grad, samples/s, mean depth.
 
 ``--ess`` (round 4, VERDICT Next-5) runs the accuracy-qualified variant:
-data simulated FROM the model at known hyperparameters, full adaptive
-warmup (fast_warmup 2-pass gradients) + exact kept draws, then ESS/R-hat
+data simulated FROM the model at known hyperparameters, MAP init + full
+adaptive warmup on the EXACT gradient program (fast_warmup collapses the
+adaptation — PERF.md round 4) + exact kept draws, then ESS/R-hat
 via gpx.diagnostics and a posterior-recovery assertion (every true
 hyperparameter inside the pooled central 98% interval) — ESS/sec with the
 accuracy leg attached, tying the >=100x north star into one artifact:
@@ -72,9 +73,14 @@ TRUE_H, TRUE_SIGMA, TRUE_NOISE = 3.0, 5.5, 0.5
 
 def run_ess(args):
     """Accuracy-qualified ESS/sec (VERDICT Next-5): simulate y from the
-    model at known hyperparameters, sample with adaptive warmup
-    (fast-warmup gradients) + exact kept draws, report min-ESS/sec and
-    assert recovery."""
+    model at known hyperparameters, sample with adaptive warmup + exact
+    kept draws, report min-ESS/sec and assert recovery.
+
+    The ADAPTIVE warmup runs on the exact gradient program: fast_warmup's
+    2-pass value loosening collapses dual averaging at this N (measured,
+    PERF.md round 4 — accept 1.0, eps -> 0, frozen chains). Opt back into
+    the known-broken config only to reproduce that measurement
+    (--fast-warmup)."""
     import gpx.diagnostics as diag
     from gpx.models import gp
 
@@ -112,7 +118,7 @@ def run_ess(args):
         warmup_iters=args.warmup, n_chains=args.n_chains,
         adapt_mass=True, init_jitter=0.02,
         analytic_gradients=True,
-        fast_warmup=not args.cpu and not args.exact_warmup,
+        fast_warmup=args.fast_warmup and not args.cpu,
     )
 
     key = jax.random.PRNGKey(args.seed)
@@ -240,9 +246,10 @@ if __name__ == "__main__":
         help="force the CPU backend (smoke-testing the harness off-chip)",
     )
     ap.add_argument(
-        "--exact-warmup", action="store_true",
-        help="ess mode: run the adaptive warmup on the exact gradient "
-        "program instead of the 2-pass fast_warmup one",
+        "--fast-warmup", action="store_true",
+        help="ess mode: run the ADAPTIVE warmup on the 2-pass fast_warmup "
+        "program — the measured-to-collapse config (PERF.md round 4); "
+        "default is the exact program",
     )
     ap.add_argument(
         "--ess", action="store_true",

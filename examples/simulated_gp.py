@@ -47,7 +47,7 @@ def _log_prior(p):
 
 
 def cmd_simulate(args):
-    x, y = _simulate(jax.random.PRNGKey(args.seed))
+    x, y = _simulate(jax.random.PRNGKey(args.seed), n=args.n)
     plots.savefig(plots.scatter_plot(x, y), OUT / "simulated_gp.png")
     io.write_chain_csv(OUT / "simulated_gp.csv", np.stack([x, y], -1), ["x", "y"])
     print(f"wrote {OUT}/simulated_gp.png")
@@ -64,7 +64,7 @@ def cmd_replicate(args):
 
 
 def cmd_fit(args):
-    x, y = _simulate(jax.random.PRNGKey(args.seed))
+    x, y = _simulate(jax.random.PRNGKey(args.seed), n=args.n)
     xobs, yobs = x[::15], y[::15]  # every-15th-point subsample (FitGp)
     xs = jnp.arange(-10.0, 10.0, 0.01)
     summary = gp.fit(TRUTH, xobs, yobs, xs)
@@ -94,7 +94,7 @@ def cmd_parameters(args):
 
 
 def cmd_hmc(args):
-    x, y = _simulate(jax.random.PRNGKey(args.seed))
+    x, y = _simulate(jax.random.PRNGKey(args.seed), n=args.n)
     xobs, yobs = x[::15], y[::15]
     template = gpx.Parameters(
         mean=gpx.zero(), kernel=gpx.se(1.0, 1.0) + gpx.white(1.0)
@@ -115,7 +115,10 @@ def cmd_posterior_predictive(args):
     if not chain_path.exists():
         raise SystemExit("run `parameters` first (needs gpmcmc_0.csv)")
     flat, names = io.read_chain_csv(chain_path, burn_in=0, thin=max(1, args.n_iters // 20))
-    x, y = _simulate(jax.random.PRNGKey(args.seed))
+    # SAME seed and --n as the `parameters` stage: the resumed chains were
+    # inferred from this dataset, so re-simulating it must reproduce it
+    # exactly (pass the same flags to both invocations)
+    x, y = _simulate(jax.random.PRNGKey(args.seed), n=args.n)
     xobs, yobs = x[::15], y[::15]
     xs = jnp.arange(-10.0, 10.0, 0.05)
     template = gpx.Parameters(

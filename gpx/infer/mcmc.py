@@ -283,7 +283,10 @@ def sample_hmc(
 
 
 def _fast_warmup_density(fast_warmup, analytic_gradients, mesh, x, y,
-                         log_prior, nugget, eps=0.0):
+                         log_prior, nugget, *, eps):
+    # eps is REQUIRED (no sentinel default): eps=None means the caller
+    # runs adaptive step sizing, which must trigger the collapse warning
+    # below — a forgotten eps= must fail loudly, not skip the diagnostic
     if not fast_warmup:
         return None
     if not analytic_gradients or mesh is not None:

@@ -105,9 +105,13 @@ def pivoted_cholesky(kernel, x, rank: int, *, method: str = "auto"):
     dtype = jnp.result_type(x.dtype, *(l.dtype for l in leaves))
     diag = kernel.diag(x, dtype=dtype)
 
+    from gpx.kernels import has_white
+
+    exact = x.shape[-1] > 8 and has_white(kernel)
+
     def column(pivot_idx):
         xp = lax.dynamic_slice_in_dim(x, pivot_idx, 1, 0)   # (1, D)
-        r2 = sq_distances(x, xp)
+        r2 = sq_distances(x, xp, exact=exact)
         # exact-zero self-distance so White contributes at the pivot
         r2 = r2.at[pivot_idx, 0].set(0.0)
         # evaluate_xx, not evaluate_r2: anisotropic (Ard) and

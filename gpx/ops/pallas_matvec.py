@@ -28,7 +28,8 @@ from gpx.ops.pallas_gram import _tile_sq_dist
 _BT = 1024
 
 
-def _matvec_kernel(*refs, treedef, d, bt, nb, nugget, n_params):
+def _matvec_kernel(*refs, treedef, d, bt, nb, nugget, n_params,
+                   exact=False):
     x_i, x_j, v_j = refs[0], refs[1], refs[2]
     param_refs = refs[3 : 3 + n_params]
     out_ref = refs[3 + n_params]
@@ -44,7 +45,7 @@ def _matvec_kernel(*refs, treedef, d, bt, nb, nugget, n_params):
     rows = i * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 0)
     cols = j * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 1)
     diag = rows == cols
-    r2 = jnp.maximum(_tile_sq_dist(x_i[:], x_j[:], d), 0.0)
+    r2 = jnp.maximum(_tile_sq_dist(x_i[:], x_j[:], d, exact), 0.0)
     r2 = jnp.where(diag, 0.0, r2)
 
     kernel = jax.tree_util.tree_unflatten(
@@ -76,7 +77,7 @@ def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
     ``v``: (N,) or (N, R). N must be a multiple of ``bt`` for the Pallas
     path; otherwise (and off-TPU) an XLA row-blocked fallback runs.
     """
-    from gpx.kernels import unwrap_ard
+    from gpx.kernels import has_white, unwrap_ard
 
     x = as_locations(x)
     # ARD rides the Pallas tile path as its isotropic base on scaled coords
@@ -106,6 +107,10 @@ def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
     body = functools.partial(
         _matvec_kernel, treedef=treedef, d=d, bt=bt, nb=nb,
         nugget=float(nugget), n_params=len(leaves),
+        # White at D > 8: exact tile distances so duplicated points keep
+        # r2 == 0 — the operator must match the dense gram's semantics
+        # (gpx.ops.pallas_gram round-4 fix)
+        exact=d > 8 and has_white(kernel),
     )
     out = pl.pallas_call(
         body,
@@ -138,7 +143,7 @@ def gram_matvec(kernel, x, v, *, nugget: float = 0.0, bt: int = _BT,
     return out[:, 0] if squeeze else out
 
 
-def _cross_kernel(*refs, treedef, d, bt, nb2, n_params):
+def _cross_kernel(*refs, treedef, d, bt, nb2, n_params, exact=False):
     x_i, x_j, v_j = refs[0], refs[1], refs[2]
     param_refs = refs[3 : 3 + n_params]
     out_ref = refs[3 + n_params]
@@ -150,7 +155,7 @@ def _cross_kernel(*refs, treedef, d, bt, nb2, n_params):
     def _init():
         acc[:] = jnp.zeros_like(acc)
 
-    r2 = jnp.maximum(_tile_sq_dist(x_i[:], x_j[:], d), 0.0)
+    r2 = jnp.maximum(_tile_sq_dist(x_i[:], x_j[:], d, exact), 0.0)
     kernel = jax.tree_util.tree_unflatten(
         treedef, [ref[0, 0] for ref in param_refs]
     )
@@ -208,9 +213,13 @@ def cross_matvec(kernel, x1, x2, v, *, bt: int = _BT,
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     smem_params = [jnp.asarray(p, jnp.float32).reshape(1, 1) for p in leaves]
     nb1, nb2 = n1 // bt, n2 // bt
+    from gpx.kernels import has_white
+
     body = functools.partial(
         _cross_kernel, treedef=treedef, d=d, bt=bt, nb2=nb2,
         n_params=len(leaves),
+        # duplicate points ACROSS sets must keep White's r2 == 0 at D > 8
+        exact=d > 8 and has_white(kernel),
     )
     out = pl.pallas_call(
         body,
@@ -245,16 +254,18 @@ def cross_matvec(kernel, x1, x2, v, *, bt: int = _BT,
 def _cross_matvec_xla(kernel, x1, x2, v2, block: int = 2048):
     """Row-blocked XLA fallback for :func:`cross_matvec` (checkpointed, so
     the VJP recomputes cross-Gram tiles instead of storing them)."""
+    from gpx.kernels import has_white
     from gpx.ops.distance import sq_distances
 
     n1 = x1.shape[0]
     pad = (-n1) % block
     xp = jnp.pad(x1, ((0, pad), (0, 0)))
     rows = xp.reshape(-1, block, x1.shape[1])
+    exact = x1.shape[1] > 8 and has_white(kernel)
 
     @jax.checkpoint
     def row_block(kernel, xb):
-        r2 = jnp.maximum(sq_distances(xb, x2), 0.0)
+        r2 = jnp.maximum(sq_distances(xb, x2, exact=exact), 0.0)
         # HIGHEST: matrix RHS — see _gram_matvec_xla
         return jnp.matmul(kernel.evaluate_xx(xb, x2, r2), v2,
                           precision=jax.lax.Precision.HIGHEST)
@@ -268,16 +279,18 @@ def _gram_matvec_xla(kernel, x, v2, nugget, block: int = 2048):
     the kernel hyperparameters: each row block is ``jax.checkpoint``-ed so
     the VJP *recomputes* its Gram tile instead of storing it — without the
     remat, ``lax.map``'s saved residuals are O(N^2) and OOM at N=65k."""
+    from gpx.kernels import has_white
     from gpx.ops.distance import sq_distances
 
     n = x.shape[0]
     pad = (-n) % block
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     rows = xp.reshape(-1, block, x.shape[1])
+    exact = x.shape[1] > 8 and has_white(kernel)
 
     @jax.checkpoint
     def row_block(kernel, i, xb):
-        r2 = sq_distances(xb, x)
+        r2 = sq_distances(xb, x, exact=exact)
         # restore exact-zero diagonal for White within this row block
         g_rows = i * block + jnp.arange(block)
         cols = jnp.arange(n)

@@ -105,12 +105,19 @@ def _inline(text: str) -> str:
         spans.append(f"<code>{html.escape(mo.group(1))}</code>")
         return f"\x00{len(spans) - 1}\x00"
 
+    def _attr(s: str) -> str:
+        # attribute values sit in double quotes; escape them even though
+        # the prose was escaped with quote=False
+        return s.replace('"', "&quot;")
+
     text = _CODE_SPAN.sub(_stash, html.escape(text, quote=False))
     text = _IMAGE.sub(
-        lambda m: f'<img src="{_href(m.group(2))}" alt="{m.group(1)}">', text
+        lambda m: (f'<img src="{_attr(_href(m.group(2)))}"'
+                   f' alt="{_attr(m.group(1))}">'), text
     )
     text = _LINK.sub(
-        lambda m: f'<a href="{_href(m.group(2))}">{m.group(1)}</a>', text
+        lambda m: f'<a href="{_attr(_href(m.group(2)))}">{m.group(1)}</a>',
+        text,
     )
     text = _BOLD.sub(r"<strong>\1</strong>", text)
     text = _ITAL.sub(r"<em>\1</em>", text)

@@ -175,3 +175,37 @@ def test_hybrid_logml_matches_analytic(rng):
         # trace-dominated components carry ~sqrt(2/(s n)) ~ 4e-3 relative
         # probe noise; small components are absolute-noise-limited
         np.testing.assert_allclose(float(a), float(b), rtol=5e-2, atol=2.0)
+
+
+def test_fused_grads_white_duplicates_high_d(rng):
+    """White at D=16 with duplicated locations: the fused contraction must
+    compute its dK/d theta tiles against the SAME exact-distance K the
+    gram builders produce (round-4 completion of the D>8 White fix —
+    without it the MXU distance identity can round the duplicate pairs to
+    tiny nonzero r2 and the White gradient silently drops them, making
+    the gradient inconsistent with the objective it differentiates).
+
+    On CPU the unfixed identity happens to cancel bitwise for exact
+    duplicates (norms and self-dot share one reduction order), so this
+    case locks the code PATH; the rounding itself only manifests under
+    the chip's single-pass bf16 MXU dot — the biting version lives in the
+    chip lane (tests_tpu::test_white_duplicates_high_d_fused_paths)."""
+    d, n = 16, 128
+    xs = rng.uniform(-50.0, 50.0, size=(n, d)).astype(np.float32)
+    xs[1] = xs[0]              # duplicate pairs, off-diagonal
+    xs[100] = xs[7]
+    x = jnp.asarray(xs)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    p = Parameters(mean=zero(), kernel=se(2.0, 3.0) + white(0.7))
+    nugget = 0.05  # keep the duplicate 2x2 blocks decently conditioned
+    k = p.kernel.gram(x, nugget=nugget, method="xla")
+    l = cholesky(k)
+    alpha = back_solve(l.T, forward_solve(l, y))
+    got = logml_kernel_grads(p.kernel, x, alpha, tri_inverse_lower(l),
+                             bt=64, interpret=True)
+    _, want = gp.logml_value_and_grad(p, x, y, method="autodiff",
+                                      nugget=nugget)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want.kernel)
+    ):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-2, atol=1e-3)

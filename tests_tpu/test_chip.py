@@ -375,3 +375,59 @@ def test_anyn_chol_inv_and_fused_logml(rng):
         jax.tree_util.tree_leaves(g_a.kernel),
     ):
         np.testing.assert_allclose(float(a), float(b), rtol=2e-2, atol=0.5)
+
+
+def test_white_duplicates_high_d_fused_paths(rng):
+    """White at D=16 with duplicated locations, compiled on chip: the MXU
+    distance identity runs single-pass bf16 here (|x|^2 ~ 1e4 carries ~50
+    of absolute rounding at 2^-8 rel), so without the exact-distance
+    routing the duplicate pairs round away from r2 == 0 and White's
+    contribution is silently dropped — invisible to the CPU lane, where
+    the norms and the self-dot cancel bitwise (tests/test_pallas_grad.py
+    ::test_fused_grads_white_duplicates_high_d locks the path there)."""
+    import gpx
+    from gpx.models import gp
+    from gpx.ops.pallas_gram import _tile_sq_dist, pallas_gram
+    from gpx.ops.pallas_matvec import gram_matvec
+
+    n, d = 512, 16
+    xs = rng.uniform(-50.0, 50.0, size=(n, d)).astype(np.float32)
+    xs[1] = xs[0]
+    xs[300] = xs[7]
+    x = jnp.asarray(xs)
+
+    # the hazard is real on this chip: the non-exact identity rounds the
+    # duplicate pair away from zero under the bf16 MXU dot
+    xc = x - jnp.mean(x, axis=0)
+    r2_mxu = jax.jit(lambda a: _tile_sq_dist(a, a, d, False))(xc)
+    assert float(jnp.abs(r2_mxu[0, 1])) > 1e-3, float(r2_mxu[0, 1])
+
+    kern = gpx.se(2.0, 3.0) + gpx.white(0.7)
+    k = jax.jit(lambda: pallas_gram(kern, x, nugget=0.05))()
+    np.testing.assert_allclose(float(k[0, 1]), 2.7, rtol=1e-5)
+    np.testing.assert_allclose(float(k[300, 7]), 2.7, rtol=1e-5)
+
+    # streamed matvec operator == dense gram product at the duplicates
+    v = jnp.asarray(rng.normal(size=n), jnp.float32)
+    mv = jax.jit(lambda vv: gram_matvec(kern, x, vv, nugget=0.05, bt=512))(v)
+    want = jnp.matmul(k, v, precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(want),
+                               rtol=2e-4, atol=2e-3)
+
+    # fused gradient contraction consistent with the exact-distance K
+    from gpx.ops.chol import (
+        back_solve, cholesky, forward_solve, tri_inverse_lower,
+    )
+    from gpx.ops.pallas_logml_grad import logml_kernel_grads
+
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    p = gpx.Parameters(mean=gpx.zero(), kernel=kern)
+    l = cholesky(k)
+    alpha = back_solve(l.T, forward_solve(l, y))
+    got = jax.jit(lambda: logml_kernel_grads(
+        kern, x, alpha, tri_inverse_lower(l), bt=512))()
+    _, want_g = gp.logml_value_and_grad(p, x, y, method="autodiff",
+                                        nugget=0.05)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want_g.kernel)):
+        np.testing.assert_allclose(float(a), float(b), rtol=2e-2, atol=5e-3)

@@ -9,6 +9,7 @@ on real hardware, at a chip-scale dataset (--n 2048 simulated points,
 every-15th subsample observed) and a few hundred iterations.
 """
 
+import os
 import pathlib
 import subprocess
 import sys
@@ -21,10 +22,16 @@ def test_simulated_gp_parameters_on_chip(tmp_path):
     target = out / "gpmcmc_0.csv"
     if target.exists():
         target.unlink()
+    # gpx is not pip-installed; the example subprocess gets examples/ on
+    # sys.path, not the repo root — make the import explicit so the lane
+    # works under plain `pytest tests_tpu/` as well as `make test-tpu`
+    env = {**os.environ,
+           "PYTHONPATH": str(REPO) + os.pathsep
+           + os.environ.get("PYTHONPATH", "")}
     r = subprocess.run(
         [sys.executable, str(REPO / "examples" / "simulated_gp.py"),
          "parameters", "400", "--n", "2048"],
-        cwd=REPO, capture_output=True, text=True, timeout=1800,
+        cwd=REPO, capture_output=True, text=True, timeout=1800, env=env,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     # the workflow's artifacts: per-chain CSVs + the diagnostics figure
