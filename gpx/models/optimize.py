@@ -96,6 +96,17 @@ def optimize(
     analytic path) unless it is ``"iterative"``; ``panel`` is the
     factorization panel width.
 
+    ``method="hybrid"`` optimizes the stochastic-exact hybrid logML
+    (gpx.models.gp.log_marginal_likelihood_hybrid_vjp: spine
+    factorization + probe-estimated trace terms, ~1.8x the exact eval at
+    N=16k — PERF.md round 4). The probe key is fixed (``key``, default
+    PRNGKey(0)) so the objective is deterministic and BOTH optimizers
+    work, including the zoom linesearch; the optimum lands within the
+    probe envelope (O(0.1-1) absolute on smooth-component gradients at
+    ``n_probes=64``) — the MAP-warm-start engine ahead of exact
+    refinement or MCMC. Same gate as ``logml_value_and_grad``'s hybrid:
+    stationary Pallas-safe kernel, 512 | N.
+
     ``method="iterative"`` optimizes the MATRIX-FREE logML estimate
     (gpx.models.gp_iterative: CG quadratic term, SLQ logdet, Hutchinson
     gradients with fresh probes per step) — type-II MLE at N beyond any
@@ -139,6 +150,10 @@ def optimize(
             )
     elif method == "analytic":
         loglik = gp.log_marginal_likelihood_analytic_vjp(x, y, nugget=nugget)
+    elif method == "hybrid":
+        loglik = gp.log_marginal_likelihood_hybrid_vjp(
+            x, y, nugget=nugget, probes=n_probes, probe_key=key,
+        )
     elif method == "autodiff":
         def loglik(p):
             return gp.log_marginal_likelihood(p, x, y, nugget=nugget)
