@@ -357,22 +357,14 @@ def log_marginal_likelihood_analytic_vjp(x, y, *, nugget: float = LOGML_NUGGET,
     fused leg at the 2-pass warmup-grade split (see
     :func:`logml_value_and_grad`) — the sampler warmup hook
     (``fast_warmup=True`` in gpx.infer.mcmc)."""
-
-    @jax.custom_vjp
-    def f(params: Parameters):
-        return log_marginal_likelihood(params, x, y, nugget=nugget)
-
-    def fwd(params):
-        value, grads = _logml_value_and_grad_analytic(
-            params, x, y, nugget, fast_gradients=fast_gradients
-        )
-        return value, grads
-
-    def bwd(grads, ct):
-        return (jax.tree_util.tree_map(lambda g: g * ct, grads),)
-
-    f.defvjp(fwd, bwd)
-    return f
+    return _scalar_vjp(
+        lambda p: _logml_value_and_grad_analytic(
+            p, x, y, nugget, fast_gradients=fast_gradients
+        ),
+        # undifferentiated calls get the plain Cholesky value (cheaper than
+        # the fused value+grad program when only the value is consumed)
+        primal=lambda p: log_marginal_likelihood(p, x, y, nugget=nugget),
+    )
 
 
 def log_marginal_likelihood_hybrid_vjp(x, y, *, nugget: float = LOGML_NUGGET,
@@ -382,32 +374,45 @@ def log_marginal_likelihood_hybrid_vjp(x, y, *, nugget: float = LOGML_NUGGET,
     ``method="hybrid"``) — the 62-vs-112 ms engine at N=16k (PERF.md
     round 4) packaged for optimizers.
 
-    The probe key is FIXED across calls, so the objective is a
-    deterministic function of the parameters (a zoom linesearch can
-    compare candidate values consistently); the ~1.4e-5-relative value
-    shift and the O(0.1-1)-absolute probe noise on the smooth gradient
-    components are a constant bias of that fixed probe draw, so the
-    optimum lands within the probe envelope of the true one — the
-    intended use is MAP/MLE warm starts ahead of exact refinement or
-    MCMC (``gp.optimize(method="hybrid")``), not final-decimal fits.
+    The probe key is FIXED across calls, so the function is a
+    deterministic map of the parameters and runs are reproducible; the
+    ~1.4e-5-relative value shift and the O(0.1-1)-absolute probe noise on
+    the smooth gradient components are a constant bias of that fixed
+    probe draw, so the optimum lands within the probe envelope of the
+    true one — the intended use is MAP/MLE warm starts ahead of exact
+    refinement or MCMC (``gpx.models.optimize.optimize(
+    method="hybrid")``), not final-decimal fits. CAUTION (measured): on
+    ill-conditioned K (small noise terms) the probe-estimated logdet
+    correction can return finite garbage VALUES while the gradients stay
+    usable — drive gradient-following optimizers (Adam) with it, never a
+    value-comparing linesearch (gpx.models.optimize enforces this).
     Same gate as ``method="hybrid"``: stationary Pallas-safe kernel,
     512 | N."""
     key = jax.random.PRNGKey(0) if probe_key is None else probe_key
+    return _scalar_vjp(
+        lambda p: logml_value_and_grad(
+            p, x, y, nugget=nugget, method="hybrid",
+            probes=probes, probe_key=key,
+        )
+    )
+
+
+def _scalar_vjp(value_and_grad_fn, *, primal=None):
+    """Package a ``params -> (value, grads)`` pair as a differentiable
+    scalar whose reverse-mode gradient returns ``grads`` (first-order
+    only) — shared by the analytic and hybrid logML wrappers. ``primal``
+    overrides what UNdifferentiated calls compute (default: the
+    value-and-grad value)."""
 
     @jax.custom_vjp
     def f(params: Parameters):
-        value, _ = logml_value_and_grad(
-            params, x, y, nugget=nugget, method="hybrid",
-            probes=probes, probe_key=key,
-        )
+        if primal is not None:
+            return primal(params)
+        value, _ = value_and_grad_fn(params)
         return value
 
     def fwd(params):
-        value, grads = logml_value_and_grad(
-            params, x, y, nugget=nugget, method="hybrid",
-            probes=probes, probe_key=key,
-        )
-        return value, grads
+        return value_and_grad_fn(params)
 
     def bwd(grads, ct):
         return (jax.tree_util.tree_map(lambda g: g * ct, grads),)

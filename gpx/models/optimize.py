@@ -100,12 +100,15 @@ def optimize(
     (gpx.models.gp.log_marginal_likelihood_hybrid_vjp: spine
     factorization + probe-estimated trace terms, ~1.8x the exact eval at
     N=16k — PERF.md round 4). The probe key is fixed (``key``, default
-    PRNGKey(0)) so the objective is deterministic and BOTH optimizers
-    work, including the zoom linesearch; the optimum lands within the
-    probe envelope (O(0.1-1) absolute on smooth-component gradients at
-    ``n_probes=64``) — the MAP-warm-start engine ahead of exact
-    refinement or MCMC. Same gate as ``logml_value_and_grad``'s hybrid:
-    stationary Pallas-safe kernel, 512 | N.
+    PRNGKey(0)) so steps are reproducible; requires
+    ``optimizer="adam"`` — on ill-conditioned K the probe-estimated
+    logdet correction can return finite garbage values that a zoom
+    linesearch latches onto (measured), while Adam follows only the
+    gradients. The optimum lands within the probe envelope (O(0.1-1)
+    absolute on smooth-component gradients at ``n_probes=64``) — the
+    MAP-warm-start engine ahead of exact refinement or MCMC. Same gate
+    as ``logml_value_and_grad``'s hybrid: stationary Pallas-safe kernel,
+    512 | N.
 
     ``method="iterative"`` optimizes the MATRIX-FREE logML estimate
     (gpx.models.gp_iterative: CG quadratic term, SLQ logdet, Hutchinson
@@ -151,6 +154,14 @@ def optimize(
     elif method == "analytic":
         loglik = gp.log_marginal_likelihood_analytic_vjp(x, y, nugget=nugget)
     elif method == "hybrid":
+        if optimizer != "adam":
+            raise ValueError(
+                "method='hybrid' requires optimizer='adam': the probe-"
+                "estimated logdet correction can return finite GARBAGE "
+                "values (measured: +5.9e6 at an ordinary small-noise "
+                "point) on ill-conditioned K, and a zoom linesearch "
+                "latches onto them as huge improvements and wedges"
+            )
         loglik = gp.log_marginal_likelihood_hybrid_vjp(
             x, y, nugget=nugget, probes=n_probes, probe_key=key,
         )

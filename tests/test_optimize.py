@@ -171,3 +171,9 @@ def test_hybrid_optimize_improves_and_is_deterministic(rng):
     exact0 = float(gp.log_marginal_likelihood(init, x, y))
     exact1 = float(gp.log_marginal_likelihood(res.params, x, y))
     assert exact1 > exact0 + 1.0, (exact0, exact1)
+
+    # Adam-only: the probe logdet correction can return finite garbage
+    # VALUES on ill-conditioned K (measured), which wedges a zoom
+    # linesearch — the lbfgs default must refuse loudly
+    with pytest.raises(ValueError, match="adam"):
+        optimize(init, x, y, method="hybrid", n_probes=16)
