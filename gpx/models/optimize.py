@@ -107,8 +107,8 @@ def optimize(
     gradients. The optimum lands within the probe envelope (O(0.1-1)
     absolute on smooth-component gradients at ``n_probes=64``) — the
     MAP-warm-start engine ahead of exact refinement or MCMC. Same gate
-    as ``logml_value_and_grad``'s hybrid: stationary Pallas-safe kernel,
-    512 | N.
+    as ``logml_value_and_grad``'s hybrid: stationary Pallas-safe kernel
+    (any N — off-512 sizes are identity-block padded, exactly).
 
     ``method="iterative"`` optimizes the MATRIX-FREE logML estimate
     (gpx.models.gp_iterative: CG quadratic term, SLQ logdet, Hutchinson

@@ -247,3 +247,26 @@ def test_spine_factorization_and_solves(rng, n, layout):
 
     with pytest.raises(ValueError, match="spine"):
         chol_inv(jnp.asarray(a), spine=True, fast=True, **kw)
+
+
+def test_chol_inv_identity_pad_blockdiag_exact(rng):
+    """The any-N padding contract (gp._pad_spd / _fused_logml_core): the
+    factorization of blockdiag(K, I_p) must be blockdiag(L, I_p) with
+    inverse blockdiag(L^{-1}, I_p) EXACTLY — zero blocks and unit pivots
+    round-trip the bf16x3 kernels bitwise, which is what makes the padded
+    solves/logdet identical to the unpadded problem's."""
+    from gpx.models.gp import _pad_spd
+
+    n, pad = 192, 64
+    a = jnp.asarray(_spd(rng, n))
+    ap = _pad_spd(a, pad)
+    l, m = chol_inv(ap, base=128, bt=64, interpret=True)
+    eye = jnp.eye(pad, dtype=jnp.float32)
+    for out in (l, m):
+        assert jnp.array_equal(out[n:, :n], jnp.zeros((pad, n)))
+        assert jnp.array_equal(out[:n, n:], jnp.zeros((n, pad)))
+        assert jnp.array_equal(out[n:, n:], eye)
+    # and the real block still factors K: ||L L^T - K|| small
+    ll = np.asarray(l[:n, :n], np.float64)
+    np.testing.assert_allclose(ll @ ll.T, np.asarray(a, np.float64),
+                               rtol=0, atol=2e-2 * float(jnp.abs(a).max()))
