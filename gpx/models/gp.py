@@ -235,11 +235,15 @@ def _fused_logml_core(kernel, base_kernel, ard_ell, x, r, k_val,
     from gpx.ops.pallas_chol import chol_inv
     from gpx.ops.pallas_logml_grad import _BT, logml_kernel_grads
 
+    import math
+
     x = as_locations(x)
     n = x.shape[0]
     bt = _BT if bt is None else bt
     chol_kwargs = dict(chol_kwargs or {})
-    pad = (-n) % bt
+    # pad must satisfy BOTH tile grids: the contraction's bt (GPX_GRAD_BT)
+    # and chol_inv's 512 sweep tile — lcm covers non-default bt either side
+    pad = (-n) % math.lcm(bt, 512)
     if pad:
         k_mat = _pad_spd(k_val, pad)
         r_vec = jnp.pad(r, (0, pad))
@@ -381,14 +385,19 @@ def _logml_value_and_grad_hybrid(params: Parameters, x, y, nugget: float,
     mean_val, mean_vjp = jax.vjp(lambda m: m(x), params.mean)
     r = y - mean_val
 
-    # any-N: identity-block pad off the 512-sweep-tile grid (exact — see
-    # _fused_logml_core). Unlike the exact contraction, the probe estimator
+    # any-N: identity-block pad off the tile grid (exact — see
+    # _fused_logml_core; lcm of chol_inv's 512 sweep tile and the probe
+    # contraction's bt). Unlike the exact contraction, the probe estimator
     # needs NO pad corrections: the probes and alpha pad with zeros, so
     # every pad tile's estimated W is exactly zero and the estimated traces
     # are automatically restricted to the real block (the `- n` in the
     # logdet correction below then cancels the identity pad block's +pad
     # against -npad analytically).
-    pad = (-n) % 512
+    import math
+
+    from gpx.ops.pallas_logml_grad import _BT
+
+    pad = (-n) % math.lcm(_BT, 512)
     if pad:
         k_mat = _pad_spd(k_val, pad)
         r_vec = jnp.pad(r, (0, pad))

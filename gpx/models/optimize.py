@@ -66,7 +66,7 @@ def optimize(
     mesh_axis: str = "data",
     panel: int = 128,
     key=None,
-    n_probes: int = 16,
+    n_probes: int | None = None,
     lanczos_iters: int = 32,
     precond_rank: int = 0,
 ) -> OptimizeResult:
@@ -124,6 +124,11 @@ def optimize(
     x, y = check_xy(x, y)
     if optimizer not in ("lbfgs", "adam"):
         raise ValueError(f"unknown optimizer: {optimizer!r}")
+    if n_probes is None:
+        # per-method default: the hybrid path's documented probe envelope is
+        # 64 (matching gp.log_marginal_likelihood_hybrid_vjp); the iterative
+        # SLQ estimator redraws probes per step so 16 suffices
+        n_probes = 64 if method == "hybrid" else 16
 
     bij = params.bijectors()
     u0 = unconstrain(bij, params)

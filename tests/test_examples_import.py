@@ -13,6 +13,7 @@ MODULES = [
     "examples.simulated_gp",
     "examples.temperature",
     "examples.temperature_dlm",
+    "examples.temperature_icm",
     "examples.temperature_kriging",
 ]
 
