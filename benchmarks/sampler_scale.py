@@ -32,6 +32,7 @@ accuracy leg attached, tying the >=100x north star into one artifact:
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -120,6 +121,10 @@ def run_ess(args):
         analytic_gradients=True,
         fast_warmup=args.fast_warmup and not args.cpu,
     )
+    if args.fast_warmup and not args.cpu:
+        # reproduce the measured-broken adaptive+fast_warmup config that the
+        # library now refuses by default (PERF.md round 4)
+        os.environ["GPX_UNSAFE_FAST_ADAPT"] = "1"
 
     key = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
@@ -249,7 +254,8 @@ if __name__ == "__main__":
         "--fast-warmup", action="store_true",
         help="ess mode: run the ADAPTIVE warmup on the 2-pass fast_warmup "
         "program — the measured-to-collapse config (PERF.md round 4); "
-        "default is the exact program",
+        "default is the exact program. Sets GPX_UNSAFE_FAST_ADAPT=1 (the "
+        "library itself refuses this configuration since round 5)",
     )
     ap.add_argument(
         "--ess", action="store_true",

@@ -41,17 +41,31 @@ def update_eps(m, mu, delta, accept_prob, s: DAState, k=0.75, gamma=0.05, t0=10.
     return DAState(log_eps=log_eps, log_eps_bar=log_eps_bar, h_bar=h_bar)
 
 
-def find_reasonable_epsilon(key, position, log_posterior, mass=None):
+def find_reasonable_epsilon(key, position, log_posterior, mass=None,
+                            force_log_posterior=None):
     """DualAverage.findReasonableEpsilon (DualAveraging.scala:70-100): double
-    or halve ``eps`` until the one-step acceptance crosses 1/2."""
-    vag = jax.value_and_grad(log_posterior)
-    lp0, grad0 = vag(position)
+    or halve ``eps`` until the one-step acceptance crosses 1/2.
+    ``force_log_posterior``: surrogate-force mode (see hmc.kernel) — the
+    trial steps integrate the surrogate gradient but the acceptance is
+    measured on the exact density."""
+    if force_log_posterior is None:
+        vag = jax.value_and_grad(log_posterior)
+        lp0, grad0 = vag(position)
+        value_fn = None
+    else:
+        vag = jax.value_and_grad(force_log_posterior)
+        lp0 = log_posterior(position)
+        grad0 = jax.grad(force_log_posterior)(position)
+        value_fn = log_posterior
     inv_mass = 1.0 if mass is None else 1.0 / mass
     std = 1.0 if mass is None else jnp.sqrt(mass)
     p0 = std * random.normal(key, position.shape, position.dtype)
 
     def log_accept(eps):
-        _, p1, _, lp1 = hmc.leapfrog(vag, position, p0, grad0, eps, 1, inv_mass)
+        q1, p1, _, lp1 = hmc.leapfrog(vag, position, p0, grad0, eps, 1,
+                                      inv_mass)
+        if value_fn is not None:
+            lp1 = value_fn(q1)
         return hmc.log_acceptance(lp1, p1, lp0, p0, inv_mass)
 
     eps0 = jnp.asarray(1.0, position.dtype)
@@ -78,28 +92,40 @@ def warmup(
     *,
     delta: float = 0.65,
     mass=None,
+    force_log_posterior: Callable | None = None,
 ):
     """DualAverage.tuneStepsize (DualAveraging.scala:108-126) as one scan.
 
     Returns ``(eps, warmed_position)`` — the adapted step size (corrected to
     ``exp(logepsbar)``) and the post-warmup chain position, so sampling
     resumes from the warmed state instead of re-starting cold.
+    ``force_log_posterior``: surrogate-force mode (see hmc.kernel) — the
+    warmup chain then adapts on the SAME transition kernel sampling will
+    use (surrogate leapfrogs, exact accepts), so the tuned eps reflects
+    the force mismatch it will face.
     """
     k_eps, k_scan = random.split(key)
-    eps0 = find_reasonable_epsilon(k_eps, position, log_posterior, mass)
+    eps0 = find_reasonable_epsilon(k_eps, position, log_posterior, mass,
+                                   force_log_posterior)
     mu = jnp.log(10.0 * eps0)
-    hmc_state = hmc.init(position, log_posterior)
+    hmc_state = hmc.init(position, log_posterior, force_log_posterior)
     da = DAState(
         log_eps=jnp.log(eps0),
         log_eps_bar=jnp.zeros_like(eps0),
         h_bar=jnp.zeros_like(eps0),
     )
-    vag = jax.value_and_grad(log_posterior)
+    if force_log_posterior is None:
+        vag = jax.value_and_grad(log_posterior)
+        value_fn = None
+    else:
+        vag = jax.value_and_grad(force_log_posterior)
+        value_fn = log_posterior
 
     def body(carry, inp):
         m, k = inp
         hstate, da = carry
-        hstate2, log_a = hmc._step(k, hstate, vag, jnp.exp(da.log_eps), l0, mass)
+        hstate2, log_a = hmc._step(k, hstate, vag, jnp.exp(da.log_eps), l0,
+                                   mass, value_fn=value_fn)
         accept_prob = jnp.minimum(1.0, jnp.exp(log_a))
         da2 = update_eps(m, mu, delta, accept_prob, da)
         return (hstate2, da2), None
@@ -120,6 +146,7 @@ def window_warmup(
     mass_window: int = 300,
     final_window: int = 150,
     delta: float = 0.65,
+    force_log_posterior: Callable | None = None,
 ):
     """Stan-style windowed warmup: dual-average the step size with unit mass,
     estimate a diagonal mass matrix from a sampling window (momentum
@@ -131,13 +158,19 @@ def window_warmup(
     """
     k1, k2, k3 = random.split(key, 3)
     eps0, position = warmup(k1, position, log_posterior, init_window, l0,
-                            delta=delta)
+                            delta=delta,
+                            force_log_posterior=force_log_posterior)
 
-    vag = jax.value_and_grad(log_posterior)
-    state = hmc.init(position, log_posterior)
+    if force_log_posterior is None:
+        vag = jax.value_and_grad(log_posterior)
+        value_fn = None
+    else:
+        vag = jax.value_and_grad(force_log_posterior)
+        value_fn = log_posterior
+    state = hmc.init(position, log_posterior, force_log_posterior)
 
     def body(s, kk):
-        s2, _ = hmc._step(kk, s, vag, eps0, l0, None)
+        s2, _ = hmc._step(kk, s, vag, eps0, l0, None, value_fn=value_fn)
         return s2, s2.position
 
     state, draws = lax.scan(body, state, random.split(k2, mass_window))
@@ -145,5 +178,6 @@ def window_warmup(
     mass = 1.0 / var  # momentum ~ N(0, M); M^{-1} ≈ posterior covariance
 
     eps, position = warmup(k3, state.position, log_posterior, final_window,
-                           l0, delta=delta, mass=mass)
+                           l0, delta=delta, mass=mass,
+                           force_log_posterior=force_log_posterior)
     return eps, mass, position

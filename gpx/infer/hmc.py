@@ -33,8 +33,15 @@ class HMCState(NamedTuple):
     accepted: jnp.ndarray
 
 
-def init(position, log_posterior) -> HMCState:
-    lp, g = jax.value_and_grad(log_posterior)(position)
+def init(position, log_posterior, force_log_posterior=None) -> HMCState:
+    """``force_log_posterior`` (optional): a surrogate whose gradient
+    drives the leapfrog while ``log_posterior`` supplies the (exact)
+    accept-ratio values — see :func:`kernel`."""
+    if force_log_posterior is None:
+        lp, g = jax.value_and_grad(log_posterior)(position)
+    else:
+        lp = log_posterior(position)
+        g = jax.grad(force_log_posterior)(position)
     return HMCState(position, lp, g, jnp.zeros((), jnp.int32))
 
 
@@ -70,21 +77,41 @@ def kernel(
     eps,
     l,
     mass: jnp.ndarray | None = None,
+    force_log_posterior: Callable | None = None,
 ):
     """One HMC transition ``(key, HMCState) -> HMCState`` (Hmc.step,
     Hmc.scala:87-105). ``eps`` and ``l`` may be traced (eHMC draws ``l``
-    per-iteration; dual averaging adapts ``eps``)."""
+    per-iteration; dual averaging adapts ``eps``).
+
+    ``force_log_posterior`` (optional): a cheaper surrogate whose GRADIENT
+    drives the leapfrog, while the Metropolis accept evaluates the exact
+    ``log_posterior`` — exact-stationarity HMC at surrogate-gradient cost
+    (round 5, VERDICT Next-4). Valid for ANY deterministic position-
+    dependent force field: the leapfrog map stays volume-preserving and
+    reversible whether or not the force is ∇log π, so the exact-π accept
+    keeps π invariant; only the ACCEPT RATE pays for force mismatch (the
+    energy drift along a trajectory is no longer O(eps^3) but
+    O(l·eps·|∇logπ - force|)). The intended surrogate is the fixed-probe-
+    key hybrid gradient (gp.log_marginal_likelihood_hybrid_vjp), whose
+    probe noise is a deterministic function of position."""
     vag = jax.value_and_grad(log_posterior)
+    value_fn = None
+    if force_log_posterior is not None:
+        vag = jax.value_and_grad(force_log_posterior)
+        value_fn = log_posterior
 
     def step(key, state: HMCState) -> HMCState:
-        return _step(key, state, vag, eps, l, mass)[0]
+        return _step(key, state, vag, eps, l, mass, value_fn=value_fn)[0]
 
     return step
 
 
-def _step(key, state: HMCState, vag, eps, l, mass):
+def _step(key, state: HMCState, vag, eps, l, mass, value_fn=None):
     """One transition; returns ``(new_state, log_acceptance)`` — the
-    log-acceptance feeds dual-averaging adaptation."""
+    log-acceptance feeds dual-averaging adaptation. ``value_fn`` (optional)
+    re-evaluates the accept-ratio log-density at the proposal endpoint
+    (the surrogate-force mode of :func:`kernel`: ``vag`` is then the
+    surrogate and its carried values are ignored)."""
     inv_mass = 1.0 if mass is None else 1.0 / mass
     k_mom, k_acc = random.split(key)
     std = 1.0 if mass is None else jnp.sqrt(mass)
@@ -93,7 +120,11 @@ def _step(key, state: HMCState, vag, eps, l, mass):
     q_new, p_new, grad_new, lp_new = leapfrog(
         vag, state.position, p0, state.grad, eps, l, inv_mass
     )
-    # re-evaluate lp at q_new is already carried by leapfrog
+    # lp at q_new is carried by leapfrog (exact mode) or re-evaluated on
+    # the exact density (surrogate-force mode: ONE exact value per
+    # trajectory instead of one per leapfrog step)
+    if value_fn is not None:
+        lp_new = value_fn(q_new)
     log_a = log_acceptance(lp_new, p_new, state.log_prob, p0, inv_mass)
     accept = jnp.log(random.uniform(k_acc)) < log_a
 

@@ -109,7 +109,7 @@ def log_marginal_likelihood(
 def logml_value_and_grad(
     params: Parameters, x, y, *, nugget: float = LOGML_NUGGET,
     method: str = "analytic", fast_gradients: bool = False,
-    probes: int = 64, probe_key=None,
+    probes: int = 64, probe_key=None, deflate: int | None = None,
 ):
     """``(logML, d logML / d params)`` in one compiled pass — the north-star
     metric path (SURVEY.md §3.3, BASELINE.md).
@@ -151,17 +151,20 @@ def logml_value_and_grad(
         from gpx.kernels import Ard
 
         kern = params.kernel
-        if (isinstance(kern, Ard) or not kern.is_stationary
-                or not kern.pallas_safe):
+        base = kern.base if (isinstance(kern, Ard)
+                             and not isinstance(kern.base, Ard)) else kern
+        if (isinstance(base, Ard) or not base.is_stationary
+                or not base.pallas_safe):
             raise ValueError(
                 "method='hybrid' needs a stationary Pallas-safe kernel "
-                "(no Ard wrapper yet); use method='analytic'"
+                "(a single top-level Ard wrapper is supported); use "
+                "method='analytic'"
             )
         # off-TPU an explicit hybrid request runs the kernels interpreted
         # (slow but correct), mirroring gram(method='pallas')
         return _logml_value_and_grad_hybrid(
             params, x, y, nugget, probes=probes, key=probe_key,
-            interpret=jax.default_backend() != "tpu",
+            deflate=deflate, interpret=jax.default_backend() != "tpu",
         )
     if method != "analytic":
         raise ValueError(f"unknown method: {method}")
@@ -358,6 +361,7 @@ def _logml_value_and_grad_analytic(params: Parameters, x, y, nugget: float,
 
 def _logml_value_and_grad_hybrid(params: Parameters, x, y, nugget: float,
                                  *, probes: int = 64, key=None,
+                                 deflate: int | None = None,
                                  interpret: bool = False):
     """Stochastic-exact hybrid (round 4, VERDICT Next-3; GPyTorch-mBCG
     analogue from PAPERS.md): factor with the trailing-spine M21s skipped
@@ -369,11 +373,40 @@ def _logml_value_and_grad_hybrid(params: Parameters, x, y, nugget: float,
     *value* keeps its second-order insensitivity to factor error, up to
     Hutchinson variance ~sqrt(2/(s N)) on the (small) correction itself.
 
-    Estimator error: gradients carry ~sqrt(2/(s N)) *relative* noise on
-    trace-dominated components (s=64, N=16k: ~1.4e-3) — between the exact
-    3-pass path (~1e-5) and ``fast_gradients`` (~2^-9); the quad term and
-    value are probe-free apart from the tiny correction. Deterministic
-    given ``key`` (default: a fixed key)."""
+    ``deflate`` (round 5, VERDICT Next-1 — Hutch++/control-variate
+    deflation): the plain Hutchinson estimate is noisy exactly on the
+    SMOOTH hyperparameter gradients, because their ``tr(K^{-1} dK/dθ)``
+    terms contract against numerically low-rank ``dK/dθ`` whose dominant
+    range the probes sample at O(1/sqrt(s)) accuracy. With ``deflate=k``
+    a rank-``k`` orthonormal basis ``Q`` of that smooth range (pivoted
+    Cholesky of the kernel's White-free part, gp_iterative.py:95, then QR)
+    splits ``K^{-1}`` EXACTLY as::
+
+        K^{-1} = Ỹ Qᵀ + Q Ỹᵀ + (I-P) K^{-1} (I-P),   P = QQᵀ,
+        Y = K^{-1} Q (k direct spine solves),  Ỹ = Y - ½ Q (QᵀY)
+
+    and only the doubly-deflated remainder is probe-estimated (probes
+    ``(I-P)z``). The identity holds for ANY orthonormal Q — Q affects
+    only the variance, which scales with ``‖(I-P) dK/dθ‖_F`` (the tail
+    singular values of the smooth derivative matrices: superexponentially
+    small in k for SE-family kernels). The exact low-rank part and the
+    deflated probe part are folded into ONE augmented probe block, so the
+    same fused contraction kernel consumes them with zero kernel changes
+    (see :func:`_hybrid_deflation`). ``deflate=None`` auto-selects
+    ``min(64, n // 32)`` (0 for pure-White kernels); ``deflate=0``
+    disables.
+
+    Estimator error: without deflation, gradients carry ~sqrt(2/(s N))
+    *relative* noise on trace-dominated components but O(0.1-1) ABSOLUTE
+    noise on the cancellation-limited smooth components (PERF.md round 4);
+    deflation removes the latter (chip-measured table in PERF.md round 5).
+    Deterministic given ``key`` (default: a fixed key).
+
+    ARD: a single top-level :class:`gpx.kernels.Ard` wrapper is handled
+    exactly as in the exact fused path — the contraction runs on scaled
+    coordinates and the per-dimension ``sdot`` sums become lengthscale
+    gradients (round 5, VERDICT Next-5)."""
+    from gpx.kernels import Ard
     from gpx.ops.pallas_chol import (
         chol_inv, spine_solve_lower, spine_solve_lower_t,
     )
@@ -381,7 +414,11 @@ def _logml_value_and_grad_hybrid(params: Parameters, x, y, nugget: float,
 
     x, y = check_xy(x, y)
     n = x.shape[0]
-    k_val = gram_of(params.kernel, x, nugget)
+    kern = params.kernel
+    base_kernel, ard_ell = kern, None
+    if isinstance(kern, Ard) and not isinstance(kern.base, Ard):
+        base_kernel, ard_ell = kern.base, kern.ell
+    k_val = gram_of(kern, x, nugget)
     mean_val, mean_vjp = jax.vjp(lambda m: m(x), params.mean)
     r = y - mean_val
 
@@ -406,6 +443,8 @@ def _logml_value_and_grad_hybrid(params: Parameters, x, y, nugget: float,
         )
     else:
         k_mat, r_vec, x_c = k_val, r, x
+    if ard_ell is not None:
+        x_c = x_c / jnp.asarray(ard_ell, x_c.dtype)
 
     l, m = chol_inv(k_mat, spine=True, interpret=interpret)
 
@@ -419,15 +458,54 @@ def _logml_value_and_grad_hybrid(params: Parameters, x, y, nugget: float,
     key = random.PRNGKey(0) if key is None else key
     z = random.rademacher(key, (n, probes), dtype=jnp.float32)
     z = jnp.pad(z, ((0, pad), (0, 0))) if pad else z
-    u = solve(z)
-
-    d_kernel, (tkw, trw) = logml_probe_grads(
-        params.kernel, x_c, alpha, u, z, with_correction=True,
-        interpret=interpret,
+    u_plain, aug = _hybrid_deflation(
+        base_kernel, x_c, z, solve, k_mat, n, pad, deflate,
     )
+
+    # Plain estimator: ALL gradients + the logdet-correction traces. The
+    # deflated estimator (aug) replaces only the SMOOTH-kernel gradients:
+    # deflation provably reduces their variance (the probe residual only
+    # sees the tail of dK/dθ's range), but it INCREASES the variance of
+    # diagonal-supported contractions (White gradients, tr(W_hat),
+    # tr(W_hat K)) — the projector puts ~sqrt(k)/noise of off-diagonal
+    # Frobenius mass into (I-P)K^{-1}(I-P) that the plain estimator's
+    # z_i^2 = 1 structure never sees (measured on CPU x64: white-gradient
+    # abs err 0.20 -> 1.27 and value err 6e-4 -> 0.6 at n=512, s=32,
+    # while smooth-gradient err fell 3.3e-2 -> 4.7e-4). So: plain for
+    # diagonal-supported leaves and both corrections, deflated for the
+    # rest (selection is static — _hybrid_diag_mask).
+    contraction_kernel = kern if ard_ell is None else base_kernel
+    out_plain = logml_probe_grads(
+        contraction_kernel, x_c, alpha, u_plain, z, with_correction=True,
+        ard=ard_ell is not None, interpret=interpret,
+    )
+    if ard_ell is None:
+        d_base, (tkw, trw) = out_plain
+    else:
+        d_base, (tkw, trw), sdot = out_plain
+    if aug is not None:
+        u_aug, z_aug = aug
+        out_defl = logml_probe_grads(
+            contraction_kernel, x_c, alpha, u_aug, z_aug,
+            ard=ard_ell is not None, interpret=interpret,
+        )
+        if ard_ell is None:
+            d_defl = out_defl
+        else:
+            d_defl, sdot = out_defl       # sdot is smooth: take deflated
+        mask = _hybrid_diag_mask(contraction_kernel)
+        d_base = jax.tree_util.tree_map(
+            lambda use_plain, a, b: a if use_plain else b,
+            mask, d_base, d_defl,
+        )
+    if ard_ell is None:
+        d_kernel = d_base
+    else:
+        d_ell = -2.0 * sdot / jnp.asarray(ard_ell, jnp.float32)
+        d_kernel = Ard(base=d_base, ell=d_ell)
     d_kernel = jax.tree_util.tree_map(
         lambda leaf, g: g.astype(jnp.result_type(leaf)),
-        params.kernel,
+        kern,
         d_kernel,
     )
     # the pad diagonal of m is exactly 1 (log contribution 0) and the
@@ -439,6 +517,109 @@ def _logml_value_and_grad_hybrid(params: Parameters, x, y, nugget: float,
     value = -0.5 * quad - half_logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
     (d_mean,) = mean_vjp(alpha[:n].astype(mean_val.dtype))
     return value, Parameters(mean=d_mean, kernel=d_kernel)
+
+
+def _hybrid_diag_mask(kernel):
+    """Static boolean pytree (same structure as ``kernel``): True on leaves
+    whose gradient contraction is diagonal-supported — every leaf of a
+    non-Sum subtree containing a White term (White itself; any Product
+    with a White factor, whose dK/dθ all vanish off the zero-distance
+    set). Those take the PLAIN probe estimate; the rest take the deflated
+    one (:func:`_logml_value_and_grad_hybrid`)."""
+    from gpx.kernels import Sum, has_white
+
+    if isinstance(kernel, Sum):
+        return Sum(tuple(_hybrid_diag_mask(k) for k in kernel.kernels))
+    flag = has_white(kernel)
+    return jax.tree_util.tree_map(lambda _: flag, kernel)
+
+
+def _hybrid_deflation(base_kernel, x_c, z, solve, k_mat, n, pad,
+                      deflate: int | None):
+    """Solve the probe block and (optionally) build the AUGMENTED block
+    implementing the deflated estimator (see
+    :func:`_logml_value_and_grad_hybrid`). Returns ``(u_plain, aug)``:
+    ``u_plain = K^{-1} z`` always, and ``aug = (u_aug, z_aug)`` (or None
+    when deflation is off) such that the probe kernel's own normalization
+    ``(U Zᵀ + Z Uᵀ) / (2 s_aug)`` reproduces::
+
+        Ỹ Qᵀ + Q Ỹᵀ  +  sym((I-P) K^{-1} (I-P) Z · Zᵀ) / s
+
+    i.e. the exact rank-k part plus the doubly-deflated Hutchinson
+    remainder — by prescaling the residual-probe columns by ``s_aug/s``
+    and the exact columns by ``2 s_aug``. ``u_plain`` costs no extra
+    solve: ``K^{-1}z = K^{-1}(I-P)z + Y(Qᵀz)``.
+
+    All projector applications run at HIGHEST matmul precision: they are
+    skinny ``(n, k)`` products whose bf16-default error (~5.8e-4) would
+    enter the *exact* term as bias rather than probe variance.
+
+    A/B env knobs (benchmarks/hybrid_deflate_ab.py; defaults are the
+    measured winners): ``GPX_DEFLATE_BASIS`` = ``pivoted`` (greedy pivoted
+    Cholesky of the smooth part) | ``landmarks`` (stride landmarks on the
+    first coordinate's sort order — no sequential scan);
+    ``GPX_DEFLATE_REFINE`` = 1|0 (the HIGHEST-residual refinement pass on
+    Y)."""
+    import os
+
+    from gpx.kernels import split_noise
+
+    s = z.shape[1]
+    smooth, _ = split_noise(base_kernel)
+    if deflate is None:
+        # measured default (PERF.md round 5): k=64 reaches the exact
+        # path's own f32 error envelope at N=16k for 4 ms less than k=128
+        deflate = 0 if smooth is None else min(64, n // 32)
+    deflate = int(min(deflate, n))
+    if deflate == 0 or smooth is None:
+        return solve(z), None
+
+    hi = jax.lax.Precision.HIGHEST
+    if os.environ.get("GPX_DEFLATE_BASIS", "pivoted") == "landmarks":
+        # stride landmarks along the first coordinate's sort order: one
+        # cross-gram + QR, no sequential scan (the basis only steers
+        # VARIANCE, so coverage of the smooth range is all that matters)
+        order = jnp.argsort(x_c[:n, 0])
+        idx = order[jnp.linspace(0, n - 1, deflate).astype(jnp.int32)]
+        l_r = smooth.gram(x_c[:n], x_c[:n][idx])
+    else:
+        from gpx.models.gp_iterative import pivoted_cholesky
+
+        l_r = pivoted_cholesky(smooth, x_c[:n], deflate)  # (n, k) real rows
+    with jax.default_matmul_precision("highest"):
+        q = jnp.linalg.qr(jnp.asarray(l_r, jnp.float32))[0]
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+    # deflate the probes: z' = (I - QQᵀ) z
+    qtz = jnp.matmul(q.T, z, precision=hi)
+    z_defl = z - jnp.matmul(q, qtz, precision=hi)
+    # ONE batched spine solve covers the residual probes AND Y = K^{-1}Q
+    b = jnp.concatenate([z_defl, q], axis=1)
+    sol = solve(b)
+    u_res, y = sol[:, :s], sol[:, s:]
+    if os.environ.get("GPX_DEFLATE_REFINE", "0") == "1":
+        # optional iterative-refinement pass on Y: solve error on Y enters
+        # the exact term as BIAS (probe-part error just widens the
+        # variance). Chip-measured at N=16k (PERF.md round 5): the pass
+        # costs ~8 ms and moved NO gradient component above the exact
+        # path's own f32 envelope, so it defaults OFF; the knob stays for
+        # worse-conditioned problems. The residual MUST be HIGHEST: it is
+        # a cancellation (K·Y ≈ Q), and the default single-pass bf16
+        # matmul would replace the true residual with ~5.8e-4·|Q| noise
+        # that refinement then injects instead of removes (CLAUDE.md:
+        # only UNbatched matvecs are f32-faithful at default precision)
+        y = y + solve(q - jnp.matmul(k_mat, y, precision=hi))
+    u_plain = u_res + jnp.matmul(y, qtz, precision=hi)
+    u_res = u_res - jnp.matmul(q, jnp.matmul(q.T, u_res, precision=hi),
+                               precision=hi)
+    y_t = y - 0.5 * jnp.matmul(q, jnp.matmul(q.T, y, precision=hi),
+                               precision=hi)
+    s_aug = s + deflate
+    u_aug = jnp.concatenate(
+        [u_res * (s_aug / s), (2.0 * s_aug) * y_t], axis=1
+    )
+    z_aug = jnp.concatenate([z, q], axis=1)
+    return u_plain, (u_aug, z_aug)
 
 
 def log_marginal_likelihood_analytic_vjp(x, y, *, nugget: float = LOGML_NUGGET,
@@ -467,7 +648,8 @@ def log_marginal_likelihood_analytic_vjp(x, y, *, nugget: float = LOGML_NUGGET,
 
 
 def log_marginal_likelihood_hybrid_vjp(x, y, *, nugget: float = LOGML_NUGGET,
-                                       probes: int = 64, probe_key=None):
+                                       probes: int = 64, probe_key=None,
+                                       deflate: int | None = None):
     """A ``params -> logML`` scalar whose value AND gradient come from the
     stochastic-exact hybrid (:func:`logml_value_and_grad`
     ``method="hybrid"``) — the 62-vs-112 ms engine at N=16k (PERF.md
@@ -491,7 +673,7 @@ def log_marginal_likelihood_hybrid_vjp(x, y, *, nugget: float = LOGML_NUGGET,
     return _scalar_vjp(
         lambda p: logml_value_and_grad(
             p, x, y, nugget=nugget, method="hybrid",
-            probes=probes, probe_key=key,
+            probes=probes, probe_key=key, deflate=deflate,
         )
     )
 

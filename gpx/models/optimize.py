@@ -69,6 +69,7 @@ def optimize(
     n_probes: int | None = None,
     lanczos_iters: int = 32,
     precond_rank: int = 0,
+    deflate: int | None = None,
 ) -> OptimizeResult:
     """Maximize the exact-GP marginal likelihood over hyperparameters.
 
@@ -109,6 +110,9 @@ def optimize(
     MAP-warm-start engine ahead of exact refinement or MCMC. Same gate
     as ``logml_value_and_grad``'s hybrid: stationary Pallas-safe kernel
     (any N — off-512 sizes are identity-block padded, exactly).
+    ``deflate`` selects the Hutch++ deflation rank (round 5; None =
+    auto — see gp._logml_value_and_grad_hybrid), which removes most of
+    the probe noise on smooth-hyperparameter gradients.
 
     ``method="iterative"`` optimizes the MATRIX-FREE logML estimate
     (gpx.models.gp_iterative: CG quadratic term, SLQ logdet, Hutchinson
@@ -169,6 +173,7 @@ def optimize(
             )
         loglik = gp.log_marginal_likelihood_hybrid_vjp(
             x, y, nugget=nugget, probes=n_probes, probe_key=key,
+            deflate=deflate,
         )
     elif method == "autodiff":
         def loglik(p):

@@ -151,6 +151,103 @@ def test_probe_grads_exact_with_identity_probes(rng):
     np.testing.assert_allclose(float(trw), float(trw_e), rtol=1e-3)
 
 
+def test_probe_grads_ard_exact_with_identity_probes(rng):
+    """ard=True probe kernel vs the exact ard kernel, with Z = sqrt(n) I
+    so the Hutchinson estimate is exact — locks the ARD legs of the probe
+    contraction (round 5, VERDICT Next-5)."""
+    from gpx import ard
+    from gpx.ops.pallas_logml_grad import logml_probe_grads
+
+    ell = jnp.asarray([0.7, 2.3])
+    kernel = ard(se(3.0, 1.0) + white(0.5), ell)
+    p, x, y, alpha, l_inv = _setup(rng, kernel, n=128, d=2)
+    n = 128
+    u_sc = x / ell
+    z = jnp.sqrt(jnp.float32(n)) * jnp.eye(n, dtype=jnp.float32)
+    k_inv = jnp.asarray(np.asarray(l_inv).T @ np.asarray(l_inv), jnp.float32)
+    u = k_inv @ z
+    got, (tkw, trw), sdot = logml_probe_grads(
+        kernel.base, u_sc, alpha, u, z, bt=64, interpret=True,
+        with_correction=True, ard=True,
+    )
+    want, (tkw_e, trw_e), sdot_e = logml_kernel_grads(
+        kernel.base, u_sc, alpha, l_inv, bt=64, interpret=True,
+        with_correction=True, ard=True,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sdot), np.asarray(sdot_e),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(tkw), float(tkw_e), rtol=1e-3)
+    np.testing.assert_allclose(float(trw), float(trw_e), rtol=1e-3)
+
+
+def test_hybrid_deflated_smooth_error_collapse(rng):
+    """Deflation (round 5, VERDICT Next-1): at the SAME probe count the
+    deflated estimator must cut the smooth-hyperparameter gradient error
+    by orders of magnitude vs the plain one, while the value and the
+    White gradient keep the plain estimator's quality (measured on this
+    configuration: smooth abs err 3.3e-2 -> 1.9e-5, value err ~1e-3,
+    white unchanged — gp._hybrid_deflation docstring)."""
+    from gpx.models.gp import _logml_value_and_grad_hybrid
+
+    kernel = se(3.0, 5.5) + white(0.5)
+    x = jnp.asarray(rng.uniform(-10, 10, size=(512, 1)), jnp.float32)
+    p = Parameters(mean=zero(), kernel=kernel)
+    y = gp.draw(jax.random.PRNGKey(2), p, x)
+
+    v_e, g_e = gp.logml_value_and_grad(p, x, y, method="autodiff")
+    kw = dict(probes=32, key=jax.random.PRNGKey(5), interpret=True)
+    v_p, g_p = _logml_value_and_grad_hybrid(p, x, y, gp.LOGML_NUGGET,
+                                            deflate=0, **kw)
+    v_d, g_d = _logml_value_and_grad_hybrid(p, x, y, gp.LOGML_NUGGET,
+                                            deflate=64, **kw)
+
+    ge = [float(l) for l in jax.tree_util.tree_leaves(g_e.kernel)]
+    gp_ = [float(l) for l in jax.tree_util.tree_leaves(g_p.kernel)]
+    gd = [float(l) for l in jax.tree_util.tree_leaves(g_d.kernel)]
+    # leaves: (h, sigma) smooth, white last
+    for i in (0, 1):
+        err_plain = abs(gp_[i] - ge[i])
+        err_defl = abs(gd[i] - ge[i])
+        assert err_defl < 2e-3, (i, err_defl)
+        assert err_defl < 0.2 * err_plain, (i, err_defl, err_plain)
+    # white (diagonal-supported) rides the plain estimate: equal up to the
+    # f32 rounding of the u_plain reconstruction K^{-1}z = K^{-1}z' + YQᵀz
+    # (the component itself is near-cancelled on model-drawn y, ~4e-3)
+    assert abs(gd[2] - gp_[2]) < 2e-3, (gd[2], gp_[2])
+    # value keeps the plain corrections — same quality
+    assert abs(float(v_d) - float(v_e)) < 5e-3 * abs(float(v_e))
+
+
+def test_hybrid_ard_public_api(rng):
+    """method='hybrid' with a top-level Ard kernel (round 5, VERDICT
+    Next-5): runs through the public entry point and tracks autodiff."""
+    from gpx import ard
+
+    ell = jnp.asarray([2.0, 7.0])
+    kernel = ard(se(3.0, 1.0) + white(0.5), ell)
+    x = jnp.asarray(rng.uniform(-8, 8, size=(512, 2)), jnp.float32)
+    p = Parameters(mean=zero(), kernel=kernel)
+    y = gp.draw(jax.random.PRNGKey(2), p, x)
+
+    v_h, g_h = gp.logml_value_and_grad(
+        p, x, y, method="hybrid", probes=32,
+        probe_key=jax.random.PRNGKey(5), deflate=64,
+    )
+    v_e, g_e = gp.logml_value_and_grad(p, x, y, method="autodiff")
+    assert abs(float(v_h) - float(v_e)) < 5e-3 * abs(float(v_e))
+    gh = np.concatenate([np.atleast_1d(np.asarray(l))
+                         for l in jax.tree_util.tree_leaves(g_h.kernel)])
+    ge = np.concatenate([np.atleast_1d(np.asarray(l))
+                         for l in jax.tree_util.tree_leaves(g_e.kernel)])
+    # probe-variance tolerance: dominant components to ~2%, small ones
+    # absolute (CPU-measured: max abs err 0.47 on a 13.2-magnitude
+    # component at this config)
+    np.testing.assert_allclose(gh, ge, rtol=5e-2, atol=1.0)
+
+
 def test_hybrid_logml_matches_analytic(rng):
     """End-to-end hybrid (spine chol + probe solves + rank-s contraction)
     vs the exact path at n=512 on CPU (interpret mode): value to ~1e-3,

@@ -472,3 +472,114 @@ def test_padded_off_grid_n_fused_logml_and_fit(rng):
         np.asarray(s.variance), np.asarray(jnp.diagonal(cov_x)),
         rtol=0, atol=2e-3 * float(jnp.abs(jnp.diagonal(cov_x)).max()),
     )
+
+
+def test_hybrid_compiled_vs_exact(setup):
+    """Round-5 chip regression for the hybrid surface (VERDICT weak-2:
+    this path previously had ZERO compiled-mode coverage and this repo's
+    history says interpret mode does not predict the chip). Plain and
+    deflated hybrid value+grads at N=4096 vs the exact fused path, within
+    the documented error model (PERF.md rounds 4-5)."""
+    from gpx.models import gp
+
+    x, y, params = setup
+    v_e, g_e = jax.jit(lambda p: gp.logml_value_and_grad(p, x, y))(params)
+    ge = [float(l) for l in jax.tree_util.tree_leaves(g_e.kernel)]
+
+    for deflate in (0, 128):
+        v_h, g_h = jax.jit(
+            lambda p, d=deflate: gp.logml_value_and_grad(
+                p, x, y, method="hybrid", probes=32,
+                probe_key=jax.random.PRNGKey(0), deflate=d)
+        )(params)
+        assert np.isfinite(float(v_h))
+        # value: probe-estimated logdet correction, ~1e-4 relative grade
+        assert abs(float(v_h) - float(v_e)) < 1e-3 * abs(float(v_e)), (
+            deflate, float(v_h), float(v_e))
+        gh = [float(l) for l in jax.tree_util.tree_leaves(g_h.kernel)]
+        assert all(np.isfinite(g) for g in gh)
+        # white (dominant, trace-dominated): tight both ways; smooth
+        # components carry probe noise (plain) shrinking under deflation
+        np.testing.assert_allclose(gh[2], ge[2], rtol=1e-3)
+        atol = 1.5 if deflate == 0 else 0.3
+        np.testing.assert_allclose(gh[:2], ge[:2], rtol=5e-2, atol=atol)
+
+
+def test_spine_factorization_and_solves_compiled(setup):
+    """chol_inv(spine=True) + spine_solve_lower(_t) in compiled mode: the
+    round-4 hybrid substrate (previously interpret/CPU-only coverage).
+    Checks the solve residual through the spine against the Gram."""
+    from gpx.ops.pallas_chol import (
+        chol_inv, spine_solve_lower, spine_solve_lower_t,
+    )
+
+    x, y, params = setup
+    k = params.kernel.gram(x, nugget=1e-3)
+    l, m = jax.jit(lambda a: chol_inv(a, spine=True))(k)
+    assert bool(jnp.isfinite(l).all()) and bool(jnp.isfinite(m).all())
+    # L is the full factor even in spine mode
+    l_x = jax.lax.linalg.cholesky(k)
+    assert float(jnp.abs(l - l_x).max()) < 2e-2 * float(jnp.abs(l_x).max())
+
+    b = jnp.stack([y, jnp.ones_like(y)], axis=1)
+    sol = jax.jit(
+        lambda ll, mm, bb: spine_solve_lower_t(
+            ll, mm, spine_solve_lower(ll, mm, bb))
+    )(l, m, b)
+    resid = jnp.matmul(k, sol, precision=jax.lax.Precision.HIGHEST) - b
+    rel = float(jnp.abs(resid).max()) / float(jnp.abs(b).max())
+    # explicit-inverse solves are ~1e-3-grade before refinement at this
+    # cond (the hybrid refines alpha on top); a broken spine path would
+    # be O(1) wrong
+    assert rel < 5e-2, rel
+
+
+def test_panel_layout_compiled_any_n(rng):
+    """chol_inv(layout='panel') compiled at an any-N size: the round-4
+    lookahead NaN was compiled-only (clean in interpret mode — PERF.md),
+    so the panel layout gets the same compiled-mode guard at an uneven
+    split (4608 = 4096 + 512)."""
+    import gpx
+    from gpx.ops.pallas_chol import chol_inv
+
+    n = 4608
+    x = jnp.asarray(rng.uniform(-10, 10, size=(n, 1)), jnp.float32)
+    kern = gpx.se(3.0, 5.5) + gpx.white(0.5)
+    k = kern.gram(x, nugget=1e-3)
+    l, m = jax.jit(lambda a: chol_inv(a, layout="panel"))(k)
+    assert bool(jnp.isfinite(l).all()) and bool(jnp.isfinite(m).all())
+    l_x = jax.lax.linalg.cholesky(k)
+    assert float(jnp.abs(l - l_x).max()) < 2e-2 * float(jnp.abs(l_x).max())
+    resid = float(jnp.abs(
+        jnp.matmul(m, l, precision=jax.lax.Precision.HIGHEST)
+        - jnp.eye(n, dtype=jnp.float32)).max())
+    assert resid < 5e-2, resid
+
+
+def test_hybrid_16k_smoke(rng):
+    """One deflated-hybrid eval at the north-star N=16384 in compiled
+    mode: finite outputs and the value within the documented envelope of
+    the plain-Cholesky logML (the bench harness times this config but a
+    silent NaN regression should fail the chip lane, not the benchmark)."""
+    import gpx
+    from gpx.models import gp
+
+    n = 16384
+    x = jnp.asarray(rng.uniform(-10, 10, size=(n, 1)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    params = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.se(3.0, 5.5) + gpx.white(0.5)
+    )
+    v_h, g_h = jax.jit(
+        lambda p: gp.logml_value_and_grad(
+            p, x, y, method="hybrid", probes=32,
+            probe_key=jax.random.PRNGKey(0), deflate=128)
+    )(params)
+    assert np.isfinite(float(v_h))
+    assert all(
+        bool(jnp.isfinite(l).all())
+        for l in jax.tree_util.tree_leaves(g_h.kernel)
+    )
+    v_x = jax.jit(lambda p: gp.log_marginal_likelihood(p, x, y))(params)
+    # hybrid value grade at 16k: ~1e-4 relative of |logML| ~ 2.6e4
+    assert abs(float(v_h) - float(v_x)) < 5.0, (float(v_h), float(v_x))
