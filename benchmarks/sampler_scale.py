@@ -107,12 +107,23 @@ def run_ess(args):
     from gpx.models.optimize import optimize
 
     t0 = time.perf_counter()
-    map_res = optimize(template, x, y, log_prior=log_prior, steps=60)
+    if args.map == "hybrid-adam":
+        # Adam on the deflated hybrid objective: one value_and_grad per
+        # step (no zoom-linesearch multi-eval programs — at N=16k the
+        # L-BFGS MAP program crashed the TPU worker once; this route is
+        # also the documented warm-start workflow, docs/large_n.md)
+        map_res = optimize(template, x, y, log_prior=log_prior, steps=80,
+                           optimizer="adam", method="hybrid",
+                           learning_rate=0.05)
+    else:
+        map_res = optimize(template, x, y, log_prior=log_prior, steps=60)
     init = jax.block_until_ready(map_res.params)
     map_s = time.perf_counter() - t0
     print(f"MAP init ({map_s:.1f}s incl. compile):",
           jax.tree_util.tree_leaves(init))
 
+    # gradients="hybrid" (round 5): deflated hybrid leapfrog forces +
+    # exact accepts — same exact posterior, cheaper trajectories
     sample = lambda key: sample_hmc(  # noqa: E731
         key, x, y, init, log_prior,
         n_samples=args.n_samples, l=args.l, eps=None,
@@ -120,6 +131,7 @@ def run_ess(args):
         adapt_mass=True, init_jitter=0.02,
         analytic_gradients=True,
         fast_warmup=args.fast_warmup and not args.cpu,
+        gradients=args.gradients if not args.cpu else "exact",
     )
     if args.fast_warmup and not args.cpu:
         # reproduce the measured-broken adaptive+fast_warmup config that the
@@ -155,6 +167,7 @@ def run_ess(args):
     out = {
         "mode": "ess",
         "sampler": "hmc",
+        "gradients": args.gradients,
         "n": args.n,
         "n_chains": args.n_chains,
         "warmup": args.warmup,
@@ -256,6 +269,17 @@ if __name__ == "__main__":
         "program — the measured-to-collapse config (PERF.md round 4); "
         "default is the exact program. Sets GPX_UNSAFE_FAST_ADAPT=1 (the "
         "library itself refuses this configuration since round 5)",
+    )
+    ap.add_argument(
+        "--map", choices=["lbfgs", "hybrid-adam"], default="lbfgs",
+        help="ess mode: MAP-init route (hybrid-adam avoids the zoom "
+        "linesearch's multi-eval memory at N=16k)",
+    )
+    ap.add_argument(
+        "--gradients", choices=["exact", "hybrid"], default="exact",
+        help="ess mode: leapfrog-force source — 'hybrid' runs the "
+        "deflated fixed-probe-key hybrid force with exact accepts "
+        "(exact posterior either way; round 5)",
     )
     ap.add_argument(
         "--ess", action="store_true",

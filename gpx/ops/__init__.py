@@ -8,7 +8,14 @@ from gpx.ops.chol import (
     forward_solve,
     logdet_from_chol,
 )
-from gpx.ops.distance import as_locations, distances, euclidean, sq_distances
+from gpx.ops.distance import (
+    as_locations,
+    distances,
+    euclidean,
+    locations_close,
+    match_locations,
+    sq_distances,
+)
 from gpx.ops.gram import build_cov_matrix, cross_gram, gram
 
 __all__ = [
@@ -21,6 +28,8 @@ __all__ = [
     "as_locations",
     "distances",
     "euclidean",
+    "locations_close",
+    "match_locations",
     "sq_distances",
     "build_cov_matrix",
     "cross_gram",

@@ -102,3 +102,26 @@ def euclidean(a, b):
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     return jnp.sqrt(jnp.sum((a - b) ** 2))
+
+
+def locations_close(x1, x2, tol: float = 1e-3):
+    """Approximate location equality — the reference's ``Eq[Location]``
+    instance with per-coordinate tolerance 1e-3 (Location.scala:18-25),
+    used there to match grid cells to sensor sites. Vectorized: for
+    ``(N, D)`` vs ``(M, D)`` locations returns an ``(N, M)`` boolean mask
+    of approximately-equal pairs (single locations broadcast)."""
+    x1 = as_locations(x1)
+    x2 = as_locations(x2)
+    return jnp.all(
+        jnp.abs(x1[:, None, :] - x2[None, :, :]) <= tol, axis=-1
+    )
+
+
+def match_locations(x1, x2, tol: float = 1e-3):
+    """Index of the first ``x2`` row approximately equal to each ``x1``
+    row, or -1 — the lookup the reference performs with its ``Eq``
+    instance when joining sensor locations to kriging grids
+    (Location.scala:18-25; TemperatureKriging workflow)."""
+    close = locations_close(x1, x2, tol)
+    has = jnp.any(close, axis=1)
+    return jnp.where(has, jnp.argmax(close, axis=1), -1)

@@ -213,6 +213,31 @@ def test_distances_euclidean(rng):
     np.testing.assert_allclose(d, ref, atol=1e-8)
 
 
+def test_locations_close_and_match(rng):
+    """Approximate location equality — the reference's Eq[Location]
+    instance with tol 1e-3 (Location.scala:18-25), vectorized, plus the
+    grid/sensor join it enables (TemperatureKriging workflow)."""
+    from gpx.ops import locations_close, match_locations
+
+    grid = np.stack(np.meshgrid(np.arange(3.0), np.arange(3.0)),
+                    -1).reshape(-1, 2)
+    sensors = np.asarray([[1.0 + 5e-4, 2.0 - 5e-4],   # ~ grid row 7
+                          [0.0, 0.0],                  # exact: row 0
+                          [1.5, 1.5]])                 # off-grid
+    mask = np.asarray(locations_close(sensors, grid))
+    assert mask.shape == (3, 9)
+    assert mask[0].sum() == 1 and mask[1].sum() == 1 and mask[2].sum() == 0
+    idx = np.asarray(match_locations(sensors, grid))
+    np.testing.assert_array_equal(
+        grid[idx[0]], [1.0, 2.0]
+    )
+    np.testing.assert_array_equal(grid[idx[1]], [0.0, 0.0])
+    assert idx[2] == -1
+    # tol boundary: 2e-3 away in one coordinate is NOT close at 1e-3
+    assert not bool(locations_close(
+        np.asarray([[1.002, 2.0]]), np.asarray([[1.0, 2.0]]))[0, 0])
+
+
 def test_linear_kernel_nonstationary(rng):
     import jax
     from gpx import Parameters, linear, zero
