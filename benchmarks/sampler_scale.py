@@ -116,7 +116,11 @@ def run_ess(args):
                            optimizer="adam", method="hybrid",
                            learning_rate=0.05)
     else:
-        map_res = optimize(template, x, y, log_prior=log_prior, steps=60)
+        # chunk_steps bounds single-device-execution time: the unchunked
+        # 60-step program was killed by the TPU worker on heavy-
+        # backtracking data at N=16k (ROADMAP round 5)
+        map_res = optimize(template, x, y, log_prior=log_prior, steps=60,
+                           chunk_steps=10)
     init = jax.block_until_ready(map_res.params)
     map_s = time.perf_counter() - t0
     print(f"MAP init ({map_s:.1f}s incl. compile):",

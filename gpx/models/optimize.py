@@ -70,6 +70,7 @@ def optimize(
     lanczos_iters: int = 32,
     precond_rank: int = 0,
     deflate: int | None = None,
+    chunk_steps: int | None = None,
 ) -> OptimizeResult:
     """Maximize the exact-GP marginal likelihood over hyperparameters.
 
@@ -136,6 +137,15 @@ def optimize(
 
     bij = params.bijectors()
     u0 = unconstrain(bij, params)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        # optimize in the DATA's dtype (cast BEFORE flattening so unravel
+        # reconstructs matching leaves): on the x64 CPU lane, f32 data with
+        # default-constructed (f64) template params otherwise mixes dtypes
+        # inside optax's linesearch cond (stored f64 value vs the f32
+        # objective), which lax.cond rejects
+        u0 = jax.tree_util.tree_map(
+            lambda leaf: jnp.asarray(leaf, x.dtype), u0
+        )
     flat0, unravel = unraveler(u0)
 
     if method == "iterative":
@@ -195,6 +205,7 @@ def optimize(
         optimizer=optimizer, steps=steps, learning_rate=learning_rate,
         history_size=history_size, grad_tol=grad_tol,
         step_keys=step_keys if method == "iterative" else None,
+        chunk_steps=chunk_steps,
     )
 
 
@@ -247,11 +258,22 @@ def optimize_log_density(
 
 
 def _run_flat_opt(objective, flat0, bij, unravel, *, optimizer, steps,
-                  learning_rate, history_size, grad_tol, step_keys):
+                  learning_rate, history_size, grad_tol, step_keys,
+                  chunk_steps=None):
     """Shared optimizer loop: one jitted ``lax.scan`` over L-BFGS/Adam
     steps on a flat unconstrained vector. ``step_keys`` (len steps+1)
     threads per-step PRNG keys into the objective for stochastic
-    (SLQ/Hutchinson) estimates; None for deterministic objectives."""
+    (SLQ/Hutchinson) estimates; None for deterministic objectives.
+
+    ``chunk_steps``: run the scan in host-level chunks of at most this
+    many steps (the optimizer state round-trips through the host between
+    chunks — the math is identical, to f32 reproducibility). Use it to
+    bound SINGLE-DEVICE-EXECUTION time: at N=16k a 60-step L-BFGS scan
+    whose zoom linesearch backtracks heavily is one multi-minute device
+    launch, which this environment's TPU worker killed reproducibly
+    (data-dependent — 10-step chunks and single-eval Adam steps run
+    clean; ROADMAP round 5); long single launches are also where
+    preemption/watchdog limits live on real fleets."""
     if optimizer == "lbfgs":
         opt = optax.lbfgs(memory_size=history_size)
         value_and_grad = optax.value_and_grad_from_state(objective)
@@ -281,20 +303,48 @@ def _run_flat_opt(objective, flat0, bij, unravel, *, optimizer, steps,
 
     scan_xs = step_keys[:-1] if step_keys is not None else None
 
-    def run(uflat):
-        (u_final, _), (vals, gnorms) = lax.scan(
-            step, (uflat, opt.init(uflat)), scan_xs, length=steps
-        )
+    def final_eval(u_final):
         # final value AND gradient at the RETURNED iterate (the scan's
-        # per-step trace is at pre-update points), inside this same jitted
-        # program: an eager objective(u_final) would re-pay a full
-        # O(N^3) logML (and, with mesh=, an eager shard_map dispatch)
-        final_value, final_grad = jax.value_and_grad(objective)(
+        # per-step trace is at pre-update points), jitted: an eager
+        # objective(u_final) would re-pay a full O(N^3) logML (and, with
+        # mesh=, an eager shard_map dispatch)
+        return jax.value_and_grad(objective)(
             u_final, step_keys[-1] if step_keys is not None else None
         )
-        return u_final, vals, gnorms, final_value, jnp.linalg.norm(final_grad)
 
-    u_final, vals, gnorms, final_obj, final_gnorm = jax.jit(run)(flat0)
+    if chunk_steps is None or chunk_steps >= steps:
+        def run(uflat):
+            (u_final, _), (vals, gnorms) = lax.scan(
+                step, (uflat, opt.init(uflat)), scan_xs, length=steps
+            )
+            final_value, final_grad = final_eval(u_final)
+            return (u_final, vals, gnorms, final_value,
+                    jnp.linalg.norm(final_grad))
+
+        u_final, vals, gnorms, final_obj, final_gnorm = jax.jit(run)(flat0)
+    else:
+        def scan_chunk(carry, xs, length):
+            return lax.scan(step, carry, xs, length=length)
+
+        chunk_fn = jax.jit(scan_chunk, static_argnums=2)
+        carry = (flat0, opt.init(flat0))
+        vals_l, gnorms_l = [], []
+        done = 0
+        while done < steps:
+            length = min(chunk_steps, steps - done)
+            xs = None if scan_xs is None else scan_xs[done:done + length]
+            carry, (v, g) = chunk_fn(carry, xs, length)
+            # block per chunk: each chunk must be its own bounded device
+            # execution, or the async dispatches chain back into one
+            jax.block_until_ready(carry[0])
+            vals_l.append(v)
+            gnorms_l.append(g)
+            done += length
+        u_final = carry[0]
+        final_obj, final_grad = jax.jit(final_eval)(u_final)
+        final_gnorm = jnp.linalg.norm(final_grad)
+        vals = jnp.concatenate(vals_l)
+        gnorms = jnp.concatenate(gnorms_l)
 
     converged = bool(jnp.isfinite(final_obj)) and bool(final_gnorm < grad_tol)
     return OptimizeResult(

@@ -29,6 +29,24 @@ def problem():
     return truth, init, x, y
 
 
+def test_chunked_scan_matches_single_program(problem):
+    """chunk_steps (round 5): host-chunked L-BFGS must reproduce the
+    single-scan result — the chunking exists to bound single-device-
+    execution time (the unchunked 60-step program at N=16k was killed by
+    the TPU worker on heavy-backtracking data, ROADMAP), not to change
+    the math."""
+    truth, init, x, y = problem
+    res1 = optimize(init, x, y, steps=24)
+    res2 = optimize(init, x, y, steps=24, chunk_steps=7)  # uneven tail
+    np.testing.assert_allclose(float(res1.value), float(res2.value),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res1.values),
+                               np.asarray(res2.values), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(res1.params),
+                    jax.tree_util.tree_leaves(res2.params)):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-4)
+
+
 def test_lbfgs_reaches_mle(problem):
     truth, init, x, y = problem
     res = optimize(init, x, y, steps=60)
