@@ -117,8 +117,11 @@ def main():
         assert bool(jnp.isfinite(vals[1]).all()), "non-finite fast logml"
 
     # --- stochastic-exact hybrid (recorded, not the headline) -------------
-    # spine factorization + probe-estimated traces: warmup/exploration-
-    # grade gradients at ~1.8x (62 vs 112 ms at 16k, PERF.md round 4)
+    # spine factorization + DEFLATED probe traces (round 5: deflate=None
+    # auto-selects the Hutch++/control-variate split): gradients at the
+    # exact path's own f32 envelope for ~0.56x the cost (61.6 vs 109.4 ms
+    # at 16k in situ, PERF.md round 5); the VALUE keeps a ~0.06 absolute
+    # probe shift, which is why the exact path stays the headline
     def one_hybrid(carry, _):
         p = jax.tree_util.tree_map(
             lambda leaf: leaf * (1.0 + 1e-7 * carry), params
@@ -153,6 +156,9 @@ def main():
         "per_call_ms": round(per_call_ms, 2),
         "fast_mode_ms": fast_ms,
         "hybrid_ms": hybrid_ms,
+        "hybrid_vs_baseline": (
+            round(TARGET_MS / hybrid_ms, 4) if hybrid_ms else None
+        ),
         "reps": REPS,
     }))
 

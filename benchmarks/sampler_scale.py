@@ -136,6 +136,10 @@ def run_ess(args):
         analytic_gradients=True,
         fast_warmup=args.fast_warmup and not args.cpu,
         gradients=args.gradients if not args.cpu else "exact",
+        # bounded device launches: the unchunked 16k program (4 chains x
+        # 512 iters x l=8 under one lax.map) is a ~20-minute single
+        # launch, which the TPU worker kills (ROADMAP round 5)
+        chunk_iters=args.chunk_iters,
     )
     if args.fast_warmup and not args.cpu:
         # reproduce the measured-broken adaptive+fast_warmup config that the
@@ -292,6 +296,11 @@ if __name__ == "__main__":
     )
     ap.add_argument("--warmup", type=int, default=64)
     ap.add_argument("--n-chains", type=int, default=2)
+    ap.add_argument(
+        "--chunk-iters", type=int, default=None,
+        help="ess mode: host-chunked HMC (sample_hmc chunk_iters=) — "
+        "bounds single-device-launch time; use ~32-64 at N=16k",
+    )
     cli = ap.parse_args()
     if cli.ess:
         run_ess(cli)

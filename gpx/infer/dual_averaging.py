@@ -83,6 +83,25 @@ def find_reasonable_epsilon(key, position, log_posterior, mass=None,
     return eps
 
 
+def _da_body(vag, value_fn, mu, delta, mass, l0):
+    """Scan body of :func:`warmup` — one HMC transition + one dual-average
+    update. Factored out so the host-chunked sampler driver
+    (gpx.infer.mcmc._sample_hmc_chunked) can run the SAME body in bounded
+    device launches with ``mu``/``mass`` as traced jit arguments (they
+    differ per chain, so they must not be baked into a shared program)."""
+
+    def body(carry, inp):
+        m, k = inp
+        hstate, da = carry
+        hstate2, log_a = hmc._step(k, hstate, vag, jnp.exp(da.log_eps), l0,
+                                   mass, value_fn=value_fn)
+        accept_prob = jnp.minimum(1.0, jnp.exp(log_a))
+        da2 = update_eps(m, mu, delta, accept_prob, da)
+        return (hstate2, da2), None
+
+    return body
+
+
 def warmup(
     key,
     position,
@@ -121,14 +140,7 @@ def warmup(
         vag = jax.value_and_grad(force_log_posterior)
         value_fn = log_posterior
 
-    def body(carry, inp):
-        m, k = inp
-        hstate, da = carry
-        hstate2, log_a = hmc._step(k, hstate, vag, jnp.exp(da.log_eps), l0,
-                                   mass, value_fn=value_fn)
-        accept_prob = jnp.minimum(1.0, jnp.exp(log_a))
-        da2 = update_eps(m, mu, delta, accept_prob, da)
-        return (hstate2, da2), None
+    body = _da_body(vag, value_fn, mu, delta, mass, l0)
 
     ms = jnp.arange(1, n_warmup + 1)
     keys = random.split(k_scan, n_warmup)

@@ -240,6 +240,7 @@ def sample_hmc(
     mesh=None,
     mesh_axis: str = "data",
     panel: int = 128,
+    chunk_iters: int | None = None,
 ) -> PosteriorSamples:
     """HMC with autodiff gradients through the Cholesky — the rebuild of
     ``KernelParameters.sampleHmc`` (KernelParameters.scala:121-154). When
@@ -280,7 +281,26 @@ def sample_hmc(
     trajectory replaces one exact value+gradient per leapfrog step.
     Warmup adapts on the same surrogate-force kernel. ``probes`` /
     ``deflate`` parameterize the hybrid estimator; incompatible with
-    ``mesh=`` and with ``fast_warmup``."""
+    ``mesh=`` and with ``fast_warmup``.
+
+    ``chunk_iters`` (round 5): execute warmup and sampling in host-level
+    chunks of at most this many iterations per device launch, chains
+    back-to-back as separate dispatches (identical math — same per-chain
+    keys, same transition ops; state round-trips through the host between
+    chunks). Bounds SINGLE-DEVICE-EXECUTION time: at N=16k, 4 chains x
+    (256 warmup + 256 kept) x l=8 is one ~20-minute launch under
+    ``lax.map``, which this environment's TPU worker kills (the
+    ``optimize(chunk_steps=)`` failure mode at sampler scale; ROADMAP
+    round 5) — and long single launches are also where preemption/
+    watchdog limits live on real fleets. Use ~32-64 at N=16k. Also a
+    large COMPILE win at scale: XLA compile time is superlinear in
+    program size, and the monolithic warmup+sampling+lax.map program is
+    huge (measured on chip at N=512: 2261 s to first result unchunked vs
+    53 s chunked). Parity: bitwise-equivalent math, so chunked ==
+    unchunked on the CPU lane (tests); ON CHIP the decomposed programs
+    compile to different fusions whose ulp-level rounding HMC amplifies
+    chaotically, so individual draws diverge from the unchunked run —
+    both are equally valid chains targeting the same posterior."""
     if gradients not in ("exact", "hybrid"):
         raise ValueError(f"unknown gradients mode: {gradients!r}")
     force_log_density = None
@@ -315,6 +335,7 @@ def sample_hmc(
         init_jitter=init_jitter, sequential=sequential,
         warmup_log_density=warmup_log_density,
         force_log_density=force_log_density,
+        chunk_iters=chunk_iters,
     )
 
 
@@ -371,6 +392,7 @@ def sample_hmc_log_density(
     sequential: bool = False,
     warmup_log_density: Callable | None = None,
     force_log_density: Callable | None = None,
+    chunk_iters: int | None = None,
 ) -> PosteriorSamples:
     """HMC over ANY model (autodiff gradients of ``log_density`` through
     the bijector lift) — the generic core of :func:`sample_hmc`; see
@@ -381,7 +403,8 @@ def sample_hmc_log_density(
     ``force_log_density`` (optional, exclusive with warmup_log_density):
     surrogate-force mode — its gradient drives every leapfrog (warmup AND
     sampling) while accepts evaluate the exact ``log_density``, keeping
-    the exact posterior invariant (hmc.kernel; round 5, VERDICT Next-4)."""
+    the exact posterior invariant (hmc.kernel; round 5, VERDICT Next-4).
+    ``chunk_iters``: bounded device launches — see :func:`sample_hmc`."""
     if force_log_density is not None and warmup_log_density is not None:
         raise ValueError(
             "force_log_density and warmup_log_density are exclusive: the "
@@ -404,6 +427,15 @@ def sample_hmc_log_density(
         raise ValueError(
             "adapt_mass=True estimates the mass matrix during the "
             "dual-averaging warmup, which only runs when eps is None"
+        )
+    if chunk_iters is not None:
+        if chunk_iters < 1:
+            raise ValueError("chunk_iters must be >= 1")
+        return _sample_hmc_chunked(
+            template, unravel, logpost, logpost_wu, logpost_force,
+            k_wu, k_run, inits, eps=eps, l=l, warmup_iters=warmup_iters,
+            adapt_mass=adapt_mass, n_chains=n_chains, n_samples=n_samples,
+            burn_in=burn_in, thin=thin, chunk_iters=chunk_iters,
         )
     mass_c = None
     if eps is None:
@@ -459,6 +491,165 @@ def sample_hmc_log_density(
     return _package(
         template, template.bijectors(), unravel, result.samples,
         result.accept_rate, extras,
+    )
+
+
+def _sample_hmc_chunked(template, unravel, logpost, logpost_wu, logpost_force,
+                        k_wu, k_run, inits, *, eps, l, warmup_iters,
+                        adapt_mass, n_chains, n_samples, burn_in, thin,
+                        chunk_iters, delta=0.65):
+    """Host-chunked HMC driver: the same per-chain math as the unchunked
+    path (identical key tree, identical transition/warmup ops), executed
+    as bounded device launches — chains back-to-back as separate
+    dispatches, every scan split into <= ``chunk_iters``-iteration chunks
+    with the chain state round-tripping through the host in between.
+
+    All jitted programs are built ONCE and take the per-chain quantities
+    (``mu``, ``eps``, ``mass``) as traced ARGUMENTS, so chain 2+ and every
+    chunk reuse chain 1's compilations (at N=16k each extra compile is
+    minutes; a per-chain closure would recompile them all)."""
+
+    def _pieces(lp):
+        if logpost_force is None:
+            return jax.value_and_grad(lp), None
+        return jax.value_and_grad(logpost_force), lp
+
+    vag_wu, value_wu = _pieces(logpost_wu)
+    vag_s, value_s = _pieces(logpost)
+
+    find_eps = jax.jit(
+        lambda k, q, mass: dual_averaging.find_reasonable_epsilon(
+            k, q, logpost_wu, mass, logpost_force
+        )
+    )
+    init_wu = jax.jit(lambda q: hmc.init(q, logpost_wu, logpost_force))
+    init_s = jax.jit(lambda q: hmc.init(q, logpost, logpost_force))
+
+    @jax.jit
+    def da_chunk(carry, ms, ks, mu, mass):
+        body = dual_averaging._da_body(vag_wu, value_wu, mu, delta, mass, l)
+        return lax.scan(body, carry, (ms, ks))
+
+    @jax.jit
+    def mass_chunk(state, ks, eps0):
+        def body(s, kk):
+            s2, _ = hmc._step(kk, s, vag_wu, eps0, l, None, value_fn=value_wu)
+            return s2, s2.position
+
+        return lax.scan(body, state, ks)
+
+    @jax.jit
+    def burn_chunk(state, ks, eps_i, mass_i):
+        def body(s, k):
+            s2, _ = hmc._step(k, s, vag_s, eps_i, l, mass_i, value_fn=value_s)
+            return s2, None
+
+        return lax.scan(body, state, ks)
+
+    @jax.jit
+    def samp_chunk(state, ks, eps_i, mass_i):
+        def keep_body(s, k):
+            def inner(ss, kk):
+                s2, _ = hmc._step(kk, ss, vag_s, eps_i, l, mass_i,
+                                  value_fn=value_s)
+                return s2, None
+
+            s2, _ = lax.scan(inner, s, random.split(k, thin))
+            return s2, s2.position
+
+        return lax.scan(keep_body, state, ks)
+
+    def _warmup_one(kk, q0, mass, n_iters):
+        # mirrors dual_averaging.warmup: same key split, same DA state
+        k_eps, k_scan = random.split(kk)
+        eps0 = jax.block_until_ready(find_eps(k_eps, q0, mass))
+        mu = jnp.log(10.0 * eps0)
+        carry = (
+            init_wu(q0),
+            dual_averaging.DAState(
+                log_eps=jnp.log(eps0),
+                log_eps_bar=jnp.zeros_like(eps0),
+                h_bar=jnp.zeros_like(eps0),
+            ),
+        )
+        ms = jnp.arange(1, n_iters + 1)
+        ks = random.split(k_scan, n_iters)
+        for i in range(0, n_iters, chunk_iters):
+            carry, _ = da_chunk(carry, ms[i:i + chunk_iters],
+                                ks[i:i + chunk_iters], mu, mass)
+            carry = jax.block_until_ready(carry)
+        hstate, da = carry
+        return jnp.exp(da.log_eps_bar), hstate.position
+
+    def _window_warmup_one(kk, q0):
+        # mirrors dual_averaging.window_warmup (equal thirds, as the
+        # unchunked sample_hmc_log_density configures it)
+        k1, k2, k3 = random.split(kk, 3)
+        w = warmup_iters // 3
+        eps0, q1 = _warmup_one(k1, q0, None, w)
+        state = init_wu(q1)
+        ks = random.split(k2, w)
+        draws = []
+        for i in range(0, w, chunk_iters):
+            state, d = mass_chunk(state, ks[i:i + chunk_iters], eps0)
+            state = jax.block_until_ready(state)
+            draws.append(d)
+        var = jnp.var(jnp.concatenate(draws), axis=0) + 1e-6
+        mass = 1.0 / var
+        eps_f, qf = _warmup_one(k3, state.position, mass, w)
+        return eps_f, mass, qf
+
+    # --- warmup, one chain at a time -----------------------------------
+    mass_c = None
+    if eps is None:
+        wu_keys = random.split(k_wu, n_chains)
+        eps_l, mass_l, q_l = [], [], []
+        for c in range(n_chains):
+            if adapt_mass:
+                e, m, q = _window_warmup_one(wu_keys[c], inits[c])
+                mass_l.append(m)
+            else:
+                e, q = _warmup_one(wu_keys[c], inits[c], None, warmup_iters)
+            eps_l.append(e)
+            q_l.append(q)
+        eps_c = jnp.stack(eps_l)
+        inits = jnp.stack(q_l)
+        if adapt_mass:
+            mass_c = jnp.stack(mass_l)
+    else:
+        eps_c = jnp.full((n_chains,), eps, dtype=inits.dtype)
+
+    # --- sampling, one chain at a time, chunked scans ------------------
+    run_keys = random.split(k_run, n_chains)
+    pos_l, acc_l = [], []
+    for c in range(n_chains):
+        state = init_s(inits[c])
+        key_c = run_keys[c]
+        mass_i = None if mass_c is None else mass_c[c]
+        if burn_in > 0:
+            kb, key_c = random.split(key_c)
+            bkeys = random.split(kb, burn_in)
+            for i in range(0, burn_in, chunk_iters):
+                state, _ = burn_chunk(state, bkeys[i:i + chunk_iters],
+                                      eps_c[c], mass_i)
+                state = jax.block_until_ready(state)
+        kkeys = random.split(key_c, n_samples)
+        chunks = []
+        for i in range(0, n_samples, chunk_iters):
+            state, d = samp_chunk(state, kkeys[i:i + chunk_iters],
+                                  eps_c[c], mass_i)
+            state = jax.block_until_ready(state)
+            chunks.append(d)
+        pos_l.append(jnp.concatenate(chunks))
+        acc_l.append(base._accept_rate(state, burn_in + n_samples * thin))
+
+    positions = jnp.stack(pos_l)
+    accept = jnp.stack(acc_l)
+    extras = {"eps": eps_c}
+    if mass_c is not None:
+        extras["mass"] = mass_c
+    return _package(
+        template, template.bijectors(), unravel, positions, accept, extras
     )
 
 

@@ -80,6 +80,50 @@ def test_surrogate_force_hmc_exact_stationarity():
         )
 
 
+def test_chunked_hmc_matches_unchunked():
+    """chunk_iters (round 5): the host-chunked HMC driver must reproduce
+    the unchunked sampler — same per-chain key tree, same transition and
+    warmup ops, state round-tripping through the host between bounded
+    device launches (the sampler-scale analog of optimize(chunk_steps=);
+    the unchunked 16k ESS program was one ~20-minute launch the TPU
+    worker killed). Covers adaptive warmup + mass window + burn-in with
+    an uneven chunk tail."""
+    kwargs = dict(n_chains=2, burn_in=7, l=4, warmup_iters=24,
+                  adapt_mass=True, init_jitter=0.05)
+    post_ref = sample_hmc_log_density(
+        jax.random.PRNGKey(11), gpx.se(1.0, 1.0), _log_density, 16, **kwargs
+    )
+    post_chk = sample_hmc_log_density(
+        jax.random.PRNGKey(11), gpx.se(1.0, 1.0), _log_density, 16,
+        chunk_iters=5, **kwargs
+    )
+    np.testing.assert_allclose(np.asarray(post_chk.extras["eps"]),
+                               np.asarray(post_ref.extras["eps"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(post_chk.extras["mass"]),
+                               np.asarray(post_ref.extras["mass"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(post_chk.flat),
+                               np.asarray(post_ref.flat), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(post_chk.accept_rate),
+                               np.asarray(post_ref.accept_rate), atol=1e-12)
+
+    # surrogate-force mode rides the same chunked driver
+    def biased_force(k):
+        return 1.3 * _log_density(k)
+
+    post_f_ref = sample_hmc_log_density(
+        jax.random.PRNGKey(12), gpx.se(1.0, 1.0), _log_density, 12,
+        n_chains=2, l=3, warmup_iters=15, force_log_density=biased_force,
+    )
+    post_f_chk = sample_hmc_log_density(
+        jax.random.PRNGKey(12), gpx.se(1.0, 1.0), _log_density, 12,
+        n_chains=2, l=3, warmup_iters=15, force_log_density=biased_force,
+        chunk_iters=4,
+    )
+    np.testing.assert_allclose(np.asarray(post_f_chk.flat),
+                               np.asarray(post_f_ref.flat),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_hybrid_gradients_hmc_gp_end_to_end():
     """sample_hmc(gradients='hybrid'): the fixed-probe-key hybrid force +
     exact accepts, end-to-end on a small GP (CPU: the hybrid runs the
