@@ -583,3 +583,43 @@ def test_hybrid_16k_smoke(rng):
     v_x = jax.jit(lambda p: gp.log_marginal_likelihood(p, x, y))(params)
     # hybrid value grade at 16k: ~1e-4 relative of |logML| ~ 2.6e4
     assert abs(float(v_h) - float(v_x)) < 5.0, (float(v_h), float(v_x))
+
+
+def test_chunked_hmc_on_chip(rng):
+    """sample_hmc(chunk_iters=) compiled-mode regression (round 5): the
+    host-chunked driver's shared jitted chunk programs (per-chain
+    mu/eps/mass as traced args) must run on the real chip — adaptation
+    moving, accepts healthy, draws finite. Bitwise chunked==unchunked
+    parity is a CPU-lane property (tests/test_generic_samplers.py); on
+    chip the decomposed programs round differently and HMC amplifies the
+    difference chaotically, so only statistical properties are asserted."""
+    import gpx
+    from gpx.distributions import Gamma
+    from gpx.infer.mcmc import sample_hmc
+    from gpx.models import gp
+
+    n = 256
+    x = jnp.asarray(np.sort(rng.uniform(-10, 10, size=(n, 1)), axis=0),
+                    jnp.float32)
+    params = gpx.Parameters(
+        mean=gpx.zero(), kernel=gpx.se(3.0, 5.5) + gpx.white(0.5)
+    )
+    y = gp.draw(jax.random.PRNGKey(2), params, x, nugget=1e-6)
+
+    def log_prior(p):
+        g = Gamma(2.0, 2.0)
+        return sum(g.logpdf(l) for l in jax.tree_util.tree_leaves(p.kernel))
+
+    post = sample_hmc(
+        jax.random.PRNGKey(5), x, y, params, log_prior,
+        n_samples=8, l=2, warmup_iters=12, adapt_mass=True, n_chains=2,
+        init_jitter=0.02, chunk_iters=4,
+    )
+    flat = np.asarray(post.flat)
+    assert flat.shape == (2, 8, 3)
+    assert np.isfinite(flat).all()
+    assert (np.asarray(post.accept_rate) >= 0.25).all()
+    assert np.asarray(post.extras["eps"]).shape == (2,)
+    assert np.asarray(post.extras["mass"]).shape == (2, 3)
+    # chains moved off their inits
+    assert flat.std(axis=1).max() > 0
