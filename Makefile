@@ -79,7 +79,17 @@ bench-multioutput:
 bench-grid:
 	python benchmarks/grid_scale.py --n1 4096 --n2 64 --grad
 
+bench-svgp:
+	python benchmarks/svgp_scale.py
+
+# north-star-scale accuracy-qualified sampler artifact (PERF.md round 5;
+# ~1h on chip — run in background)
+bench-ess-16k:
+	python benchmarks/sampler_scale.py --sampler hmc --ess --n 16384 \
+		--n-chains 4 --n-samples 256 --warmup 256 --l 8 \
+		--map hybrid-adam --gradients hybrid --chunk-iters 32
+
 .PHONY: simulated hmc_simulated posterior_predictive fit_temp_gp \
 	krig_temperature fit_temp_dlm forecast_temperature_dlm fit_dlm_gp \
 	icm_temperature mnist large_n figures site test test-tpu bench bench-roofline \
-	bench-samplers bench-multioutput bench-grid
+	bench-samplers bench-multioutput bench-grid bench-svgp bench-ess-16k

@@ -127,7 +127,11 @@ def run_ess(args):
           jax.tree_util.tree_leaves(init))
 
     # gradients="hybrid" (round 5): deflated hybrid leapfrog forces +
-    # exact accepts — same exact posterior, cheaper trajectories
+    # exact accepts — same exact posterior, cheaper trajectories.
+    # program_cache: the timed SECOND call reuses the first call's jitted
+    # chunk programs (same x/y/init/prior/config; only the key differs) —
+    # without it the timed wall would include a full N=16k recompile
+    prog_cache = {}
     sample = lambda key: sample_hmc(  # noqa: E731
         key, x, y, init, log_prior,
         n_samples=args.n_samples, l=args.l, eps=None,
@@ -140,6 +144,7 @@ def run_ess(args):
         # 512 iters x l=8 under one lax.map) is a ~20-minute single
         # launch, which the TPU worker kills (ROADMAP round 5)
         chunk_iters=args.chunk_iters,
+        program_cache=prog_cache,
     )
     if args.fast_warmup and not args.cpu:
         # reproduce the measured-broken adaptive+fast_warmup config that the

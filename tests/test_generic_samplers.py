@@ -124,6 +124,44 @@ def test_chunked_hmc_matches_unchunked():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_chunked_program_cache_reuses_and_matches():
+    """program_cache (round 5): repeated chunked sample calls through one
+    cache dict must (a) actually reuse the jitted chunk programs — the
+    benchmark's timed second call must not pay the multi-minute N=16k
+    recompile — and (b) change nothing about the math vs a fresh build."""
+    import pytest
+
+    kwargs = dict(n_chains=2, l=3, warmup_iters=12, adapt_mass=True,
+                  init_jitter=0.05, chunk_iters=5)
+    cache = {}
+    post_a = sample_hmc_log_density(
+        jax.random.PRNGKey(21), gpx.se(1.0, 1.0), _log_density, 10,
+        program_cache=cache, **kwargs
+    )
+    progs_after_first = cache["progs"]
+    post_b = sample_hmc_log_density(
+        jax.random.PRNGKey(22), gpx.se(1.0, 1.0), _log_density, 10,
+        program_cache=cache, **kwargs
+    )
+    assert cache["progs"] is progs_after_first  # reused, not rebuilt
+    post_fresh = sample_hmc_log_density(
+        jax.random.PRNGKey(22), gpx.se(1.0, 1.0), _log_density, 10,
+        **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(post_b.flat),
+                                  np.asarray(post_fresh.flat))
+    assert not np.array_equal(np.asarray(post_a.flat),
+                              np.asarray(post_b.flat))  # keys differ
+
+    # a cache built for one (l, thin, delta) refuses another configuration
+    with pytest.raises(ValueError, match="program_cache"):
+        sample_hmc_log_density(
+            jax.random.PRNGKey(23), gpx.se(1.0, 1.0), _log_density, 10,
+            program_cache=cache, n_chains=2, l=4, warmup_iters=12,
+            adapt_mass=True, init_jitter=0.05, chunk_iters=5,
+        )
+
+
 def test_hybrid_gradients_hmc_gp_end_to_end():
     """sample_hmc(gradients='hybrid'): the fixed-probe-key hybrid force +
     exact accepts, end-to-end on a small GP (CPU: the hybrid runs the
