@@ -57,11 +57,31 @@ def _c_factor(c_raw):
 
 
 def _whitened_features(params: Parameters, z, xb):
-    """``a_i = Luu^{-1} k(z, x_i)`` columns for a batch — (M, B)."""
+    """``a_i = Luu^{-1} k(z, x_i)`` columns for a batch — (M, B).
+
+    ``GPX_SVGP_SOLVER=inv`` (A/B knob, MEASURED NEGATIVE at M=1024 —
+    PERF.md round 5): materialize ``Luu^{-1}`` via the blocked recursion
+    and apply it as one HIGHEST-precision matmul instead of XLA's
+    ``triangular_solve``. The matmul form wins in the dense-16k path,
+    but in the SVGP step it measured 50.3 vs 40.0 ms/step (and ~6e-5
+    relative ELBO accuracy cost from the explicit inverse) — at this M
+    the solve is not latency-dominated. Kept for other M/B regimes and
+    future hardware; the solve stays the default.
+    """
+    import os
+
     z = as_locations(z)
     kuu = params.kernel.gram(z, nugget=_jitter(z.dtype))
     luu = cholesky(kuu)
     kuf = params.kernel.gram(z, xb)
+    if os.environ.get("GPX_SVGP_SOLVER") == "inv":
+        from gpx.ops.chol import tri_inverse_lower
+
+        luu_inv = tri_inverse_lower(luu)
+        # HIGHEST: `a` feeds the predictive variance through ||a||^2; the
+        # bf16 matmul default costs ~3 digits there (CLAUDE.md)
+        a = jnp.matmul(luu_inv, kuf, precision=jax.lax.Precision.HIGHEST)
+        return a, luu
     return forward_solve(luu, kuf), luu
 
 

@@ -32,6 +32,39 @@ def test_kl_zero_at_init_and_positive_otherwise(rng):
     assert float(svgp.kl(state2)) > 0.0
 
 
+def test_inv_solver_knob_parity(rng, monkeypatch):
+    """GPX_SVGP_SOLVER=inv (A/B knob): applying a materialized Luu^{-1} as
+    one HIGHEST matmul must agree with the triangular solve to f32
+    accuracy — the explicit inverse amplifies Luu's conditioning, so the
+    tolerance is f32-realistic (measured ~6e-5 relative on the ELBO at
+    M=32), not exact."""
+    x, y, _, p_smooth, noise = _setup(rng)
+    z = x[::5][:24]
+    st = svgp.SVGPState(
+        mu=jnp.asarray(np.asarray(rng.normal(size=24)), x.dtype),
+        c_raw=jnp.asarray(0.1 * np.asarray(rng.normal(size=(24, 24))),
+                          x.dtype),
+    )
+
+    def run():
+        v = svgp.elbo_minibatch(p_smooth, z, st, x, y, n_total=x.shape[0],
+                                noise=noise)
+        g = jax.grad(lambda s: svgp.elbo_minibatch(
+            p_smooth, z, s, x, y, n_total=x.shape[0], noise=noise))(st)
+        f = svgp.fit(p_smooth, z, st, x[:40], noise=0.1)
+        return (float(v), np.asarray(g.mu), np.asarray(f.mean),
+                np.asarray(f.variance))
+
+    monkeypatch.delenv("GPX_SVGP_SOLVER", raising=False)
+    v0, g0, m0, var0 = run()
+    monkeypatch.setenv("GPX_SVGP_SOLVER", "inv")
+    v1, g1, m1, var1 = run()
+    assert abs(v1 - v0) / abs(v0) < 5e-4
+    np.testing.assert_allclose(g1, g0, rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(m1, m0, atol=1e-3)
+    np.testing.assert_allclose(var1, var0, atol=1e-3)
+
+
 def test_full_batch_elbo_is_lower_bound(rng):
     """With the full data as one 'minibatch', the SVGP ELBO lower-bounds
     the exact logML for ANY variational state (Jensen)."""
